@@ -1,0 +1,127 @@
+"""Batched forward kinematics.
+
+Computes world-frame link poses and velocities from a SimState; this is the
+TPU equivalent of Bullet's getLinkStates(computeLinkVelocity=True) used by the
+state builders and rewards (reference bullet/bullet_utils.py:39-66).
+
+Link state convention matches Bullet: reported positions/velocities refer to
+the link COM; orientation is the link (inertial) frame.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from ..maths import quaternion as quat
+from .model import PhysicsModel
+from .state import SimState, joint_omega
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class FKResult:
+    body_q: Any      # (...,NB,4) world orientation per body
+    body_p: Any      # (...,NB,3) link-frame origin (joint anchor) world pos
+    body_com: Any    # (...,NB,3) world COM position
+    body_w: Any      # (...,NB,3) world angular velocity
+    body_vcom: Any   # (...,NB,3) world COM linear velocity
+    body_vo: Any     # (...,NB,3) world velocity of the link origin point
+    dof_axis: Any    # (...,NV,3) world axis per dof
+    dof_pos: Any     # (...,NV,3) world anchor per dof
+
+    def tree_flatten(self):
+        return (self.body_q, self.body_p, self.body_com, self.body_w,
+                self.body_vcom, self.body_vo, self.dof_axis, self.dof_pos), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        return cls(*leaves)
+
+
+def fk(model: PhysicsModel, state: SimState) -> FKResult:
+    J = model.num_joints
+    batch = state.batch_shape
+    om = joint_omega(model, state)          # (...,J,3)
+
+    jpos = jnp.asarray(model.joint_pos)
+    jquat = jnp.asarray(model.joint_quat)
+    com_l = jnp.asarray(model.com)
+
+    body_q = [state.root_q]
+    body_p = [state.root_p]
+    body_w = [state.root_w]
+    body_vo = [state.root_v]
+
+    for j in range(J):
+        par = int(model.body_parent[j + 1])
+        q_p, p_p = body_q[par], body_p[par]
+        w_p, vo_p = body_w[par], body_vo[par]
+        # joint frame in world
+        q_frame = quat.mul(q_p, jnp.broadcast_to(jquat[j], q_p.shape))
+        p_j = p_p + quat.rotate(q_p, jnp.broadcast_to(jpos[j], p_p.shape))
+        q_j = quat.mul(q_frame, state.joint_q[..., j, :])
+        w_j = w_p + quat.rotate(q_j, om[..., j, :])
+        vo_j = vo_p + jnp.cross(w_p, p_j - p_p)
+        body_q.append(q_j)
+        body_p.append(p_j)
+        body_w.append(w_j)
+        body_vo.append(vo_j)
+
+    body_q = jnp.stack(body_q, axis=-2)
+    body_p = jnp.stack(body_p, axis=-2)
+    body_w = jnp.stack(body_w, axis=-2)
+    body_vo = jnp.stack(body_vo, axis=-2)
+
+    r_com = quat.rotate(body_q, jnp.broadcast_to(com_l, batch + (J + 1, 3)))
+    body_com = body_p + r_com
+    body_vcom = body_vo + jnp.cross(body_w, r_com)
+
+    # Per-dof world axes/anchors
+    eye = jnp.eye(3)
+    dof_axis = [jnp.broadcast_to(eye[d], batch + (3,)) for d in range(3)]
+    dof_pos = [jnp.zeros(batch + (3,))] * 3
+    dof_axis += [jnp.broadcast_to(eye[d], batch + (3,)) for d in range(3)]
+    dof_pos += [state.root_p] * 3
+    for j in range(J):
+        s = int(model.joint_dof_start[j])
+        if s < 0:
+            continue
+        Rj = quat.to_matrix(body_q[..., j + 1, :])
+        for a in range(3):
+            dof_axis.append(Rj[..., :, a])
+            dof_pos.append(body_p[..., j + 1, :])
+    dof_axis = jnp.stack(dof_axis, axis=-2)
+    dof_pos = jnp.stack(dof_pos, axis=-2)
+
+    return FKResult(
+        body_q=body_q, body_p=body_p, body_com=body_com,
+        body_w=body_w, body_vcom=body_vcom, body_vo=body_vo,
+        dof_axis=dof_axis, dof_pos=dof_pos,
+    )
+
+
+def com_and_vel(model: PhysicsModel, k: FKResult):
+    """Whole-body COM and COM velocity (reference
+    bullet/bullet_utils.py:165-189)."""
+    m = jnp.asarray(model.mass)
+    total = model.total_mass
+    com = jnp.sum(m[:, None] * k.body_com, axis=-2) / total
+    vel = jnp.sum(m[:, None] * k.body_vcom, axis=-2) / total
+    return com, vel
+
+
+def contact_point_positions(model: PhysicsModel, k: FKResult):
+    """World positions + velocities of the candidate contact points."""
+    pb = jnp.asarray(model.point_body)
+    pl = jnp.asarray(model.point_pos)
+    q = k.body_q[..., pb, :]
+    p = k.body_p[..., pb, :]
+    w = k.body_w[..., pb, :]
+    vo = k.body_vo[..., pb, :]
+    r = quat.rotate(q, pl)
+    x = p + r
+    v = vo + jnp.cross(w, r)
+    return x, v

@@ -1,0 +1,289 @@
+"""PhysicsModel: the static, device-resident description the batched physics
+core consumes.
+
+Replaces Bullet's internal multibody data structures (reference:
+sim_agent.py:101-193 precomputes the same joint/gain/mass tables from the
+loaded URDF).  Everything here is computed once on the host; the arrays are
+then closed over by jitted step functions.
+
+Generalized coordinates:
+  q = (root_p (3), root_q (4, xyzw), joint_q (J,4))
+  v = [root linear velocity (world, 3) | root angular velocity (world, 3) |
+       per-movable-joint angular velocity (child frame, 3 each)]  -> (NV,)
+
+Body indexing: body 0 = floating base, body k = URDF link k-1 (Bullet link
+ordering, sim_agent.py:92-95).
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ..kinematics.char_info import CharInfo
+from ..kinematics.urdf import (CharacterModel, FIXED, GEOM_BOX, GEOM_CAPSULE,
+                               GEOM_SPHERE, SPHERICAL)
+
+
+@dataclasses.dataclass(frozen=True)
+class SimParams:
+    """Simulation parameters (reference envs/env_humanoid_tracking.py:123-132,
+    241-250)."""
+
+    fps_sim: int = 480
+    fps_con: int = 30
+    solver_iters: int = 10       # PGS iterations (numSolverIterations)
+    num_contacts: int = 16       # top-K contact buffer size per character
+    mu: float = 0.8              # lateral friction (char 0.8 * plane 1.0)
+    restitution: float = 0.0
+    baumgarte: float = 0.2       # position-error velocity feedback
+    contact_slop: float = 0.002
+    gravity: float = -9.8
+    joint_damping: float = 0.02  # URDF <dynamics damping>
+    spd: bool = True
+
+    @property
+    def dt_sim(self) -> float:
+        return 1.0 / self.fps_sim
+
+    @property
+    def dt_con(self) -> float:
+        return 1.0 / self.fps_con
+
+    @property
+    def num_substeps(self) -> int:
+        assert self.fps_sim % self.fps_con == 0
+        return self.fps_sim // self.fps_con
+
+
+@dataclasses.dataclass(frozen=True)
+class PhysicsModel:
+    """Static arrays (numpy on host; jnp views created lazily by users)."""
+
+    params: SimParams
+
+    num_joints: int              # J
+    num_bodies: int              # NB = J + 1
+    nv: int                      # generalized velocity dim
+
+    # Topology
+    body_parent: np.ndarray      # (NB,) parent body, -1 for base
+    joint_type: np.ndarray       # (J,)
+    joint_pos: np.ndarray        # (J,3) in parent LINK frame
+    joint_quat: np.ndarray       # (J,4)
+    movable: np.ndarray          # (J,) bool
+    joint_dof_start: np.ndarray  # (J,) index into v, -1 if fixed
+
+    # Mass properties (body-indexed, 0 = base)
+    mass: np.ndarray             # (NB,)
+    com: np.ndarray              # (NB,3) local
+    inertia: np.ndarray          # (NB,3,3) local, about COM
+
+    # Dof tables
+    dof_body: np.ndarray         # (NV,) body the dof's joint connects (child)
+    dof_joint: np.ndarray        # (NV,) joint index, -1 for root dofs
+    dof_axis: np.ndarray         # (NV,) axis index 0..2
+    dof_is_ang: np.ndarray       # (NV,) bool
+    anc: np.ndarray              # (NB, NV) bool ancestor-dof mask
+    anc_pair: np.ndarray         # (NV, NV) bool: e ancestor-or-self of d
+
+    # Actuation (dof-indexed; zeros on root dofs)
+    kp: np.ndarray               # (NV,)
+    kd: np.ndarray               # (NV,)
+    max_force: np.ndarray        # (NV,)
+    damping: np.ndarray          # (NV,)
+
+    # Contact candidate points
+    point_body: np.ndarray       # (NP,)
+    point_pos: np.ndarray        # (NP,3) local (link frame)
+    point_radius: np.ndarray     # (NP,)
+    point_allow: np.ndarray      # (NP,) bool: ground contact allowed
+
+    # Per-link metadata mirrored from char info
+    link_contact_allow: np.ndarray  # (NB,) bool
+    joint_weight: np.ndarray        # (NB,) normalized weights (0 = base)
+    end_effectors: np.ndarray       # body indices
+    v_up: np.ndarray
+    v_face: np.ndarray
+    v_up_env: np.ndarray
+
+    @property
+    def total_mass(self) -> float:
+        return float(self.mass.sum())
+
+    @property
+    def num_points(self) -> int:
+        return self.point_pos.shape[0]
+
+    @property
+    def action_dim(self) -> int:
+        return int(self.movable.sum()) * 3
+
+
+def _contact_points(cm: CharacterModel):
+    """Candidate contact points per collision geom.
+
+    sphere -> center (radius r); capsule -> 2 axis endpoints (radius r);
+    box -> 8 corners (small margin radius).  All expressed in link frame.
+    """
+    from ..maths import quaternion as quatmod
+    import jax.numpy as jnp
+
+    pts_body, pts_pos, pts_r = [], [], []
+    for g in range(cm.geom_link.shape[0]):
+        body = int(cm.geom_link[g]) + 1
+        gq = cm.geom_quat[g]
+        gp = cm.geom_pos[g]
+        R = np.asarray(quatmod.to_matrix(jnp.asarray(gq)))
+        t = cm.geom_type[g]
+        if t == GEOM_SPHERE:
+            local = [np.zeros(3)]
+            r = cm.geom_size[g, 0]
+        elif t == GEOM_CAPSULE:
+            hl = cm.geom_size[g, 1]
+            local = [np.array([0, 0, hl]), np.array([0, 0, -hl])]
+            r = cm.geom_size[g, 0]
+        elif t == GEOM_BOX:
+            he = cm.geom_size[g]
+            local = [he * np.array(s)
+                     for s in [(1, 1, 1), (1, 1, -1), (1, -1, 1), (1, -1, -1),
+                               (-1, 1, 1), (-1, 1, -1), (-1, -1, 1),
+                               (-1, -1, -1)]]
+            r = 0.0
+        else:
+            continue
+        for x in local:
+            pts_body.append(body)
+            pts_pos.append(R @ x + gp)
+            pts_r.append(r)
+    return (np.asarray(pts_body, dtype=np.int32), np.stack(pts_pos),
+            np.asarray(pts_r))
+
+
+def build_model(cm: CharacterModel, ci: CharInfo,
+                params: SimParams = SimParams()) -> PhysicsModel:
+    J = cm.num_joints
+    NB = J + 1
+    assert ci.num_joints == J
+
+    movable = cm.joint_type != FIXED
+    assert (cm.joint_type[movable] == SPHERICAL).all(), \
+        "only spherical movable joints supported (loco family)"
+
+    joint_dof_start = np.full(J, -1, dtype=np.int32)
+    nv = 6
+    for j in range(J):
+        if movable[j]:
+            joint_dof_start[j] = nv
+            nv += 3
+
+    body_parent = np.concatenate([[-1], cm.parent + 1]).astype(np.int32)
+
+    mass = np.concatenate([[cm.base_mass], cm.mass])
+    com = np.concatenate([cm.base_com[None], cm.com])
+    inertia = np.concatenate([cm.base_inertia[None], cm.inertia])
+
+    dof_body = np.zeros(nv, dtype=np.int32)
+    dof_joint = np.full(nv, -1, dtype=np.int32)
+    dof_axis = np.zeros(nv, dtype=np.int32)
+    dof_is_ang = np.zeros(nv, dtype=bool)
+    dof_axis[:6] = [0, 1, 2, 0, 1, 2]
+    dof_is_ang[3:6] = True
+    for j in range(J):
+        s = joint_dof_start[j]
+        if s < 0:
+            continue
+        dof_body[s:s + 3] = j + 1
+        dof_joint[s:s + 3] = j
+        dof_axis[s:s + 3] = [0, 1, 2]
+        dof_is_ang[s:s + 3] = True
+
+    # Ancestor masks
+    anc = np.zeros((NB, nv), dtype=bool)
+    for k in range(NB):
+        anc[k, :6] = True
+        b = k
+        while b > 0:
+            j = b - 1
+            s = joint_dof_start[j]
+            if s >= 0:
+                anc[k, s:s + 3] = True
+            b = body_parent[b]
+    # anc_pair[d,e]: e is an ancestor-or-self dof of d AND e < d (strict
+    # lower triangle; valid because joints are topologically ordered).  The
+    # CRBA assembly adds the transpose and the diagonal separately.
+    anc_pair = np.zeros((nv, nv), dtype=bool)
+    for d in range(nv):
+        anc_pair[d] = anc[dof_body[d]] & (np.arange(nv) < d)
+
+    # Gains per dof (char-info per-joint gains broadcast to 3 axes,
+    # reference sim_agent.py:156-185)
+    kp = np.zeros(nv)
+    kd = np.zeros(nv)
+    max_force = np.zeros(nv)
+    damping = np.zeros(nv)
+    for j in range(J):
+        s = joint_dof_start[j]
+        if s < 0:
+            continue
+        kp[s:s + 3] = ci.kp[j]
+        kd[s:s + 3] = ci.kd[j]
+        max_force[s:s + 3] = ci.max_force[j]
+        damping[s:s + 3] = params.joint_damping
+
+    point_body, point_pos, point_radius = _contact_points(cm)
+    link_contact_allow = np.concatenate(
+        [[ci.root_contact_allow], ci.contact_allow])
+    point_allow = link_contact_allow[point_body]
+
+    joint_weight = np.concatenate([[ci.root_joint_weight], ci.joint_weight])
+
+    return PhysicsModel(
+        params=params,
+        num_joints=J,
+        num_bodies=NB,
+        nv=nv,
+        body_parent=body_parent,
+        joint_type=cm.joint_type,
+        joint_pos=cm.joint_pos,
+        joint_quat=cm.joint_quat,
+        movable=movable,
+        joint_dof_start=joint_dof_start,
+        mass=mass,
+        com=com,
+        inertia=inertia,
+        dof_body=dof_body,
+        dof_joint=dof_joint,
+        dof_axis=dof_axis,
+        dof_is_ang=dof_is_ang,
+        anc=anc,
+        anc_pair=anc_pair,
+        kp=kp,
+        kd=kd,
+        max_force=max_force,
+        damping=damping,
+        point_body=point_body,
+        point_pos=point_pos,
+        point_radius=point_radius,
+        point_allow=point_allow,
+        link_contact_allow=link_contact_allow,
+        joint_weight=joint_weight,
+        end_effectors=np.asarray(ci.end_effectors, dtype=np.int32) + 1,
+        v_up=ci.v_up,
+        v_face=ci.v_face,
+        v_up_env=ci.v_up_env,
+    )
+
+
+def load_loco_model(project_dir: str = "/root/reference",
+                    params: SimParams = SimParams()) -> PhysicsModel:
+    """Convenience loader for the reference loco character."""
+    import os
+
+    from ..kinematics.urdf import load_urdf
+    from ..kinematics.char_info import load_char_info
+
+    cm = load_urdf(os.path.join(project_dir, "data/character/urdf/loco.urdf"))
+    ci = load_char_info(
+        os.path.join(project_dir, "data/character/info/loco_char_info.py"))
+    return build_model(cm, ci, params)
