@@ -1,0 +1,147 @@
+"""Simulation stepping: stable-PD actuation fused into the implicit solve,
+contact impulses, semi-implicit Euler integration, control-step substepping.
+
+Replaces the reference hot loop `num_substep x {actuate; stepSimulation}`
+(envs/env_humanoid_tracking.py:375-413) and Bullet's STABLE_PD_CONTROL
+(sim_agent.py:694-703).  Stable PD follows Tan et al.: the damping term is
+implicit — (M + dt*Kd) qdd = tau_ext - c - kp*err(q + dt qdot, q_target)
+- kd*qdot — which is what makes kp=500 stable at 480 Hz.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..maths import quaternion as quat
+from . import contacts as contacts_mod
+from .dynamics import dynamics_terms
+from .fk import contact_point_positions, fk
+from .model import PhysicsModel
+from .state import SimState, joint_omega
+
+
+class Action(NamedTuple):
+    """Per-control-step actuation targets (already denormalized).
+
+    target_q: (...,J,4) target local joint rotations (identity for fixed).
+    target_w: (...,J,3) target local joint velocities.
+    root_force / root_torque: optional residual root wrench (world frame).
+    torque: optional (...,NV) direct torques (TQ actuation mode).
+    """
+    target_q: jnp.ndarray
+    target_w: jnp.ndarray
+    root_force: Optional[jnp.ndarray] = None
+    root_torque: Optional[jnp.ndarray] = None
+    torque: Optional[jnp.ndarray] = None
+
+
+def hold_action(model: PhysicsModel, batch_shape=()) -> Action:
+    return Action(
+        target_q=quat.identity(batch_shape + (model.num_joints,)),
+        target_w=jnp.zeros(batch_shape + (model.num_joints, 3)),
+    )
+
+
+def spd_torque(model: PhysicsModel, state: SimState, action: Action, dt):
+    """Per-dof stable-PD torque (before the implicit damping solve).
+
+    tau = -kp * err(q advanced by dt*qdot, q_target) - kd * qdot, clamped to
+    per-dof max_force (Bullet clamps motor forces the same way,
+    sim_agent.py:166-172).
+    """
+    kp = jnp.asarray(model.kp)
+    kd = jnp.asarray(model.kd)
+    max_f = jnp.asarray(model.max_force)
+    damping = jnp.asarray(model.damping)
+
+    om = joint_omega(model, state)                       # (...,J,3)
+    q_adv = quat.integrate(state.joint_q, om, dt)
+    # error rotation from advanced pose to target, in the child joint frame
+    err = quat.to_axis_angle(quat.mul(quat.conjugate(q_adv), action.target_q))
+
+    tau = jnp.zeros(state.vel.shape)
+    for j in range(model.num_joints):
+        s = int(model.joint_dof_start[j])
+        if s < 0:
+            continue
+        t = (kp[s:s + 3] * err[..., j, :]
+             + kd[s:s + 3] * (action.target_w[..., j, :] - om[..., j, :]))
+        tau = tau.at[..., s:s + 3].set(t)
+    tau = jnp.clip(tau, -max_f, max_f)
+    # URDF joint damping applied explicitly
+    tau = tau - damping * state.vel
+    if action.root_force is not None:
+        tau = tau.at[..., 0:3].add(action.root_force)
+    if action.root_torque is not None:
+        tau = tau.at[..., 3:6].add(action.root_torque)
+    if action.torque is not None:
+        tau = tau + action.torque
+    return tau
+
+
+def substep(model: PhysicsModel, state: SimState, action: Action,
+            ground_height=0.0) -> SimState:
+    """One physics substep at dt_sim (480 Hz for the loco config)."""
+    p = model.params
+    dt = p.dt_sim
+
+    k = fk(model, state)
+    S, M, c = dynamics_terms(model, state, k)
+
+    tau = spd_torque(model, state, action, dt)
+
+    # Implicit PD damping on the LHS: M + dt * diag(kd)
+    kd_diag = jnp.asarray(model.kd) + jnp.asarray(model.damping)
+    M_hat = M + dt * jnp.diag(kd_diag)
+
+    M_chol = jnp.linalg.cholesky(M_hat)
+    rhs = (tau - c)[..., None]
+    qdd = jax.scipy.linalg.cho_solve((M_chol, True), rhs)[..., 0]
+    v_pred = state.vel + dt * qdd
+
+    # Contacts on the predicted velocity
+    x, _ = contact_point_positions(model, k)
+    depth = contacts_mod.detect_ground(model, x, ground_height)
+    cons = contacts_mod.select_contacts(model, x, depth)
+    J = contacts_mod.contact_jacobian(model, k, cons)
+    dv, _ = contacts_mod.solve_contacts(model, M_chol, J, v_pred, cons, dt)
+    vel = v_pred + dv
+
+    # Semi-implicit Euler integration
+    om = joint_omega(model, SimState(state.root_p, state.root_q,
+                                     state.joint_q, vel))
+    return SimState(
+        root_p=state.root_p + dt * vel[..., 0:3],
+        root_q=quat.integrate_world(state.root_q, vel[..., 3:6], dt),
+        joint_q=quat.integrate(state.joint_q, om, dt),
+        vel=vel,
+    )
+
+
+def control_step(model: PhysicsModel, state: SimState, action: Action,
+                 ground_height=0.0) -> SimState:
+    """One control step = num_substeps physics substeps under lax.scan
+    (mirrors envs/env_humanoid_tracking.py:393-399)."""
+
+    def body(st, _):
+        return substep(model, st, action, ground_height), None
+
+    out, _ = jax.lax.scan(body, state, None, length=model.params.num_substeps)
+    return out
+
+
+def check_ground_contact(model: PhysicsModel, state: SimState,
+                         ground_height=0.0, margin=0.0):
+    """(disallowed_contact, any_contact) booleans per batch element.
+
+    Used for falldown-by-collision (envs/env_humanoid_tracking.py:278-288).
+    """
+    k = fk(model, state)
+    x, _ = contact_point_positions(model, k)
+    depth = contacts_mod.detect_ground(model, x, ground_height)
+    touching = depth > -margin
+    allow = jnp.asarray(model.point_allow)
+    disallowed = jnp.any(touching & ~allow, axis=-1)
+    return disallowed, jnp.any(touching, axis=-1)
