@@ -1,0 +1,431 @@
+"""Motion-imitation environment (DeepMimic/ScaDiver style), TPU-native.
+
+Functional re-build of the reference env stack L2-L4 (envs/env_humanoid_
+tracking.py + env_humanoid_base.py + env_humanoid_imitation.py +
+rllib_env_imitation.py): `reset`/`step` are pure functions over an EnvState
+pytree, vmap-able to thousands of parallel humanoids, with early-termination
+(incl. eoe_margin grace) and reference-state initialization done with masks
+instead of Python control flow.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..kinematics import motion as motion_mod
+from ..kinematics.char_info import load_char_info
+from ..kinematics.urdf import load_urdf
+from ..maths import quaternion as quat
+from ..maths import transforms as tf
+from ..physics import fk as fk_mod
+from ..physics import model as model_mod
+from ..physics import state as state_mod
+from ..physics import step as step_mod
+from . import obs as obs_mod
+from .config import EnvConfig
+from .reward import compile_reward, subterm_names
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class EnvState:
+    sim: state_mod.SimState
+    ref_idx: Any          # i32 current reference clip
+    start_time: Any       # f32 RSI start time
+    elapsed: Any          # f32 elapsed episode time
+    eoe_intermediate: Any  # bool: EOE condition hit (grace running)
+    time_after_eoe: Any   # f32
+    done: Any             # bool: episode over (after eoe_margin)
+    rew_queue: Any        # (Q,) recent rewards for low_reward early term
+    rew_sum: Any          # f32
+    last_reward: Any      # f32
+    rng: Any              # PRNG key
+
+    def tree_flatten(self):
+        return (self.sim, self.ref_idx, self.start_time, self.elapsed,
+                self.eoe_intermediate, self.time_after_eoe, self.done,
+                self.rew_queue, self.rew_sum, self.last_reward, self.rng), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        return cls(*leaves)
+
+
+class ImitationEnv:
+    """Host-side container of static data + pure env functions.
+
+    Reference call stack parity: SURVEY.md §3.1.
+    """
+
+    def __init__(self, cfg: EnvConfig):
+        self.cfg = cfg
+        params = model_mod.SimParams(fps_sim=cfg.fps_sim, fps_con=cfg.fps_con)
+        cm = load_urdf(cfg.sim_char_file)
+        ci = load_char_info(cfg.char_info_file)
+        self.char_info = ci
+        self.model = model_mod.build_model(cm, ci, params)
+
+        # Base motion: initial posture + Absolute-mode action base pose
+        # (envs/env_humanoid_base.py:378-452).
+        base = motion_mod.from_bvh_file(cfg.base_motion_file, ci,
+                                        scale=cfg.ref_motion_scale)
+        self.base_motion = base
+        self.base_q0 = base.joint_q[0]           # (J,4) frame-0 local quats
+
+        # Reference motion DB
+        clips = [motion_mod.from_bvh_file(f, ci, scale=cfg.ref_motion_scale)
+                 for f in cfg.ref_motion_files] or [base]
+        self.db = motion_mod.build_db(clips)
+
+        self.height_fix = jnp.asarray(
+            cfg.ref_motion_height_fix * ci.v_up_env, dtype=jnp.float32)
+
+        self.reward_fn = compile_reward(cfg.reward_fn_def)
+        self.reward_terms = subterm_names(cfg.reward_fn_def)
+        self.lookahead = list(cfg.sensor_lookahead)
+
+        self.dt_con = 1.0 / cfg.fps_con
+        self.low_reward_len = int(round(cfg.fps_con * cfg.et_low_reward_duration))
+
+        # task-state key (exactly one ref_motion_* entry in the loco specs)
+        self.task_keys = [c for c in cfg.state_choices if c != "body"]
+
+        md = self.model
+        self.dim_action = md.action_dim
+        self.dim_state_body = obs_mod.body_state_dim(md, cfg.state_body_type)
+        self.dim_state_task = self._task_dim()
+        self.dim_state = (
+            self.dim_state_body * ("body" in cfg.state_choices)
+            + self.dim_state_task)
+
+    # ------------------------------------------------------------------
+    # helpers
+    # ------------------------------------------------------------------
+
+    def _task_dim(self) -> int:
+        dim = 0
+        for key in self.task_keys:
+            if key.startswith("ref_motion"):
+                inc_abs = "abs" in key
+                inc_rel = "rel" in key
+                inc_ff = not key.endswith("_noff")
+                per = (self.dim_state_body_raw() * (inc_abs + inc_rel)
+                       + 6 * inc_ff)
+                dim += per * len(self.lookahead)
+            elif key == "phase_linear":
+                dim += 1
+            elif key == "phase_trigon":
+                dim += 2
+            else:
+                raise NotImplementedError(key)
+        return dim
+
+    def dim_state_body_raw(self):
+        return obs_mod.body_state_dim(self.model, self.cfg.state_body_type)
+
+    def ref_length(self, ref_idx):
+        return self.db.length_of(ref_idx)
+
+    def _kin_state(self, ref_idx, t):
+        """Kinematic-twin SimState from the reference motion at time t
+        (callback_step_after, envs/env_humanoid_imitation.py:111-117)."""
+        root_p, root_q, joint_q = self.db.pose_at(ref_idx, t)
+        root_v, root_w, joint_w = self.db.velocity_at(ref_idx, t)
+        root_p = root_p + self.height_fix
+        return state_mod.from_pose(self.model, root_p, root_q, joint_q,
+                                   root_v, root_w, joint_w)
+
+    def ref_time(self, st: EnvState):
+        t = st.start_time + st.elapsed
+        if self.cfg.repeat_ref_motion:
+            t = jnp.mod(t, self.ref_length(st.ref_idx))
+        return t
+
+    # ------------------------------------------------------------------
+    # reset
+    # ------------------------------------------------------------------
+
+    def reset(self, rng, ref_motion_id=None, start_time=None) -> EnvState:
+        """RSI reset (envs/env_humanoid_imitation.py:84-104, 129-144)."""
+        rng, k1, k2 = jax.random.split(rng, 3)
+        if ref_motion_id is None:
+            ref_idx = jax.random.randint(k1, (), 0, self.db.num_clips)
+        else:
+            ref_idx = jnp.asarray(ref_motion_id, dtype=jnp.int32)
+        if start_time is None:
+            if self.cfg.start_time_sampler == "uniform":
+                st_time = jax.random.uniform(k2, ()) * self.ref_length(ref_idx)
+            else:
+                st_time = jnp.asarray(0.0)
+        else:
+            st_time = jnp.asarray(start_time, dtype=jnp.float32)
+
+        sim = self._kin_state(ref_idx, st_time)
+        return EnvState(
+            sim=sim,
+            ref_idx=ref_idx,
+            start_time=st_time,
+            elapsed=jnp.asarray(0.0),
+            eoe_intermediate=jnp.asarray(False),
+            time_after_eoe=jnp.asarray(0.0),
+            done=jnp.asarray(False),
+            rew_queue=jnp.ones(self.low_reward_len),
+            rew_sum=jnp.asarray(0.0),
+            last_reward=jnp.asarray(0.0),
+            rng=rng,
+        )
+
+    # ------------------------------------------------------------------
+    # observation
+    # ------------------------------------------------------------------
+
+    def observe(self, st: EnvState):
+        k_sim = fk_mod.fk(self.model, st.sim)
+        parts = []
+        for key in self.cfg.state_choices:
+            if key == "body":
+                parts.append(obs_mod.body_state(
+                    self.model, k_sim, self.cfg.state_body_type))
+            else:
+                parts.append(self._task_state(st, k_sim, key))
+        return jnp.concatenate(parts, axis=-1)
+
+    def observe_body(self, st: EnvState, body_type: Optional[str] = None):
+        k_sim = fk_mod.fk(self.model, st.sim)
+        return obs_mod.body_state(self.model, k_sim,
+                                  body_type or self.cfg.state_body_type)
+
+    def observe_task(self, st: EnvState):
+        k_sim = fk_mod.fk(self.model, st.sim)
+        parts = [self._task_state(st, k_sim, key) for key in self.task_keys]
+        return jnp.concatenate(parts, axis=-1) if parts else jnp.zeros(0)
+
+    def _task_state(self, st: EnvState, k_sim, key):
+        t = self.ref_time(st)
+        if key.startswith("ref_motion"):
+            kin_fks = []
+            for dt in self.lookahead:
+                tt = jnp.clip(t + dt, 0.0, self.ref_length(st.ref_idx))
+                kin_fks.append(fk_mod.fk(
+                    self.model, self._kin_state(st.ref_idx, tt)))
+            return obs_mod.imitation_task_state(
+                self.model, k_sim, kin_fks, self.cfg.state_body_type,
+                include_abs="abs" in key, include_rel="rel" in key,
+                include_facing_frame=not key.endswith("_noff"))
+        if key == "phase_linear":
+            return (t / self.ref_length(st.ref_idx))[..., None]
+        if key == "phase_trigon":
+            theta = 2 * jnp.pi * t
+            return jnp.stack([jnp.cos(theta), jnp.sin(theta)], axis=-1)
+        raise NotImplementedError(key)
+
+    # ------------------------------------------------------------------
+    # actions
+    # ------------------------------------------------------------------
+
+    def action_to_targets(self, st: EnvState, action) -> step_mod.Action:
+        """Denormalize + convert axis-angle action into SPD target pose
+        (compute_target_pose, envs/env_humanoid_base.py:378-452)."""
+        a = jnp.clip(action, self.cfg.action_range_min_pol,
+                     self.cfg.action_range_max_pol)
+        # loco: real range == policy range, so norm_to_real is identity+clamp
+        lo, hi = self.cfg.action_range_min, self.cfg.action_range_max
+        plo, phi = self.cfg.action_range_min_pol, self.cfg.action_range_max_pol
+        a = lo + (a - plo) / (phi - plo) * (hi - lo)
+
+        if self.cfg.action_type == "relative":
+            t = self.ref_time(st)
+            _, _, base_q = self.db.pose_at(st.ref_idx, t)
+        else:
+            base_q = jnp.asarray(self.base_q0)
+
+        J = self.model.num_joints
+        aa = jnp.zeros(a.shape[:-1] + (J, 3))
+        c = 0
+        for j in range(J):
+            if self.model.movable[j]:
+                aa = aa.at[..., j, :].set(a[..., c:c + 3])
+                c += 3
+        target = quat.mul(jnp.broadcast_to(base_q, aa.shape[:-1] + (4,)),
+                          quat.from_axis_angle(aa))
+        target = jnp.where(jnp.asarray(self.model.movable)[:, None], target,
+                           jnp.broadcast_to(jnp.asarray([0.0, 0, 0, 1.0]),
+                                            target.shape))
+        return step_mod.Action(
+            target_q=target, target_w=jnp.zeros_like(aa))
+
+    # ------------------------------------------------------------------
+    # step
+    # ------------------------------------------------------------------
+
+    def step(self, st: EnvState, action):
+        """One control step.  Returns (next_state, obs, reward, done, info).
+
+        Pipeline parity: envs/env_humanoid_base.py:534-675.
+        """
+        cfg = self.cfg
+        act = self.action_to_targets(st, action)
+        sim = step_mod.control_step(self.model, st.sim, act)
+        elapsed = st.elapsed + self.dt_con
+
+        st1 = dataclasses.replace(st, sim=sim, elapsed=elapsed)
+        t_ref = self.ref_time(st1)
+        kin = self._kin_state(st1.ref_idx, t_ref)
+
+        k_sim = fk_mod.fk(self.model, sim)
+        k_kin = fk_mod.fk(self.model, kin)
+
+        error = self._task_error(sim, kin, k_sim, k_kin)
+        reward, rew_info = self.reward_fn(error)
+
+        # --- early termination (envs/env_humanoid_base.py:1003-1035 +
+        #     envs/env_humanoid_imitation.py:369-395) ---
+        rew_queue = jnp.roll(st.rew_queue, -1, axis=-1)
+        rew_queue = rew_queue.at[..., -1].set(reward)
+        rew_sum = st.rew_sum + reward
+
+        eoe_flags = {}
+        choices = cfg.early_term_choices
+        if "ref_motion_end" in choices:
+            eoe_flags["ref_motion_end"] = (
+                t_ref >= self.ref_length(st1.ref_idx))
+        if "low_reward" in choices:
+            eoe_flags["low_reward"] = (
+                jnp.mean(rew_queue, axis=-1) < cfg.et_low_reward_thres)
+        if "falldown" in choices:
+            if cfg.falldown_method == "height":
+                eoe_flags["falldown"] = self._root_height(k_sim) < \
+                    cfg.et_falldown_height_min
+            else:
+                dis, _ = step_mod.check_ground_contact(self.model, sim)
+                eoe_flags["falldown"] = dis
+        if "falldown_by_height" in choices:
+            eoe_flags["falldown"] = self._root_height(k_sim) < \
+                cfg.et_falldown_height_min
+        if "sim_window" in choices:
+            eoe_flags["sim_window"] = elapsed > cfg.et_sim_window_time
+        if "sim_div" in choices or True:
+            # divergence guard is always on: protects batched training
+            finite = jnp.isfinite(sim.vel).all(axis=-1) & \
+                jnp.isfinite(sim.root_p).all(axis=-1)
+            eoe_flags["sim_div"] = ~finite | (
+                jnp.abs(sim.vel).max(axis=-1) > 1e4)
+        if "root_mismatch_orientation" in choices:
+            dang = quat.geodesic_angle(sim.root_q, kin.root_q)
+            eoe_flags["root_mismatch_orientation"] = (
+                dang > cfg.et_root_mismatch_orientation_thres)
+        if "root_mismatch_position" in choices:
+            dp = jnp.linalg.norm(kin.root_p - sim.root_p, axis=-1)
+            eoe_flags["root_mismatch_position"] = (
+                dp > cfg.et_root_mismatch_position_thres)
+
+        any_eoe = jnp.zeros_like(st.done)
+        for v in eoe_flags.values():
+            any_eoe = any_eoe | v
+
+        eoe_intermediate = st.eoe_intermediate | any_eoe
+        time_after_eoe = jnp.where(
+            eoe_intermediate, st.time_after_eoe + self.dt_con, 0.0)
+        done = eoe_intermediate & (time_after_eoe >= cfg.et_eoe_margin)
+
+        st2 = EnvState(
+            sim=sim, ref_idx=st1.ref_idx, start_time=st1.start_time,
+            elapsed=elapsed, eoe_intermediate=eoe_intermediate,
+            time_after_eoe=time_after_eoe, done=done,
+            rew_queue=rew_queue, rew_sum=rew_sum, last_reward=reward,
+            rng=st1.rng)
+
+        obs = self.observe(st2)
+        info = {"rew_info": rew_info, "eoe": eoe_flags, "error": error}
+        return st2, obs, reward, done, info
+
+    def step_auto(self, st: EnvState, action):
+        """step + autoreset: episodes that finished are replaced by fresh RSI
+        resets (vmapped equivalent of rllib worker episode handling)."""
+        st2, obs, reward, done, info = self.step(st, action)
+        rng, sub = jax.random.split(st2.rng)
+        st2 = dataclasses.replace(st2, rng=rng)
+        fresh = self.reset(sub)
+        new_st = jax.tree.map(
+            lambda a, b: jnp.where(
+                jnp.reshape(done, done.shape + (1,) * (a.ndim - done.ndim)),
+                a, b),
+            fresh, st2)
+        new_obs = self.observe(new_st)
+        return new_st, new_obs, reward, done, info
+
+    # ------------------------------------------------------------------
+    # errors / rewards
+    # ------------------------------------------------------------------
+
+    def _root_height(self, k_fk):
+        up = jnp.asarray(self.model.v_up_env)
+        return jnp.einsum("...i,i->...", k_fk.body_p[..., 0, :], up)
+
+    def _task_error(self, sim, kin, k_sim, k_kin):
+        """Imitation task errors (envs/env_humanoid_imitation.py:280-367)."""
+        md = self.model
+        terms = self.reward_terms
+        error = {}
+
+        w = jnp.asarray(md.joint_weight[1:])         # per joint, normalized
+        movable = jnp.asarray(md.movable)
+        J = md.num_joints
+
+        if "pose_pos" in terms:
+            dq = quat.geodesic_angle(sim.joint_q, kin.joint_q)  # (...,J)
+            e = jnp.where(movable, dq * dq, 0.0)
+            error["pose_pos"] = jnp.sum(w * e, axis=-1) / J
+        if "pose_vel" in terms:
+            w_sim = state_mod.joint_omega(md, sim)
+            w_kin = state_mod.joint_omega(md, kin)
+            dv = jnp.sum((w_sim - w_kin) ** 2, axis=-1)
+            e = jnp.where(movable, dv, 0.0)
+            error["pose_vel"] = jnp.sum(w * e, axis=-1) / J
+
+        v_face = jnp.asarray(md.v_face)
+        v_up = jnp.asarray(md.v_up_env)
+        R_sf, p_sf = tf.facing_frame(sim.root_q, sim.root_p, v_face, v_up)
+        R_kf, p_kf = tf.facing_frame(kin.root_q, kin.root_p, v_face, v_up)
+        RT_sf = jnp.swapaxes(R_sf, -1, -2)
+        RT_kf = jnp.swapaxes(R_kf, -1, -2)
+
+        if "ee" in terms:
+            ee = jnp.asarray(md.end_effectors)
+            se = k_sim.body_com[..., ee, :] - p_sf[..., None, :]
+            ke = k_kin.body_com[..., ee, :] - p_kf[..., None, :]
+            se = jnp.einsum("...ij,...kj->...ki", RT_sf, se)
+            ke = jnp.einsum("...ij,...kj->...ki", RT_kf, ke)
+            d = se - ke
+            error["ee"] = jnp.mean(jnp.sum(d * d, axis=-1), axis=-1)
+        if "root" in terms:
+            dp = sim.root_p - kin.root_p
+            dang = quat.geodesic_angle(sim.root_q, kin.root_q)
+            dv = sim.root_v - kin.root_v
+            dw = sim.root_w - kin.root_w
+            error["root"] = (
+                1.0 * jnp.sum(dp * dp, axis=-1)
+                + 0.1 * dang * dang
+                + 0.01 * jnp.sum(dv * dv, axis=-1)
+                + 0.001 * jnp.sum(dw * dw, axis=-1))
+        if "com" in terms:
+            com_s, comv_s = fk_mod.com_and_vel(md, k_sim)
+            com_k, comv_k = fk_mod.com_and_vel(md, k_kin)
+            dcom = (jnp.einsum("...ij,...j->...i", RT_sf, com_s - p_sf)
+                    - jnp.einsum("...ij,...j->...i", RT_kf, com_k - p_kf))
+            dcomv = (jnp.einsum("...ij,...j->...i", RT_sf, comv_s)
+                     - jnp.einsum("...ij,...j->...i", RT_kf, comv_k))
+            error["com"] = (1.0 * jnp.sum(dcom * dcom, axis=-1)
+                            + 0.1 * jnp.sum(dcomv * dcomv, axis=-1))
+        return error
+
+
+def make_env(spec_path: str, project_dir: Optional[str] = None):
+    from .config import load_env_config_from_spec
+
+    cfg = load_env_config_from_spec(spec_path, project_dir=project_dir)
+    return ImitationEnv(cfg)
