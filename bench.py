@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""Benchmark: batched humanoid imitation env throughput on one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": "env_steps_per_sec_per_chip", "value": N, "unit": "steps/s",
+   "vs_baseline": N}
+
+Baseline: the reference's PyBullet stack runs order 10^2-10^3 env steps/s per
+CPU core (BASELINE.md "implied env throughput"); we use 500 steps/s as the
+comparison point.
+"""
+import argparse
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+BASELINE_STEPS_PER_SEC = 500.0
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=2048)
+    ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--spec", type=str,
+                    default="/root/reference/data/spec/loco/loco_imitation.yaml")
+    ap.add_argument("--project-dir", type=str, default="/root/reference")
+    args = ap.parse_args()
+
+    from physicsvae_tpu.env import make_env
+
+    env = make_env(args.spec, project_dir=args.project_dir)
+
+    B = args.batch
+    rngs = jax.random.split(jax.random.PRNGKey(0), B)
+    st = jax.jit(jax.vmap(env.reset))(rngs)
+
+    @jax.jit
+    def run(st, actions):
+        def body(carry, a):
+            st = carry
+            st, obs, rew, done, _ = jax.vmap(env.step_auto)(st, a)
+            return st, rew
+        st, rews = jax.lax.scan(body, st, actions)
+        return st, rews
+
+    actions = jnp.zeros((args.steps, B, env.dim_action))
+
+    # compile + warmup
+    st, rews = run(st, actions)
+    jax.block_until_ready(rews)
+
+    t0 = time.perf_counter()
+    st, rews = run(st, actions)
+    jax.block_until_ready(rews)
+    dt = time.perf_counter() - t0
+
+    steps_per_sec = B * args.steps / dt
+    out = {
+        "metric": "env_steps_per_sec_per_chip",
+        "value": round(steps_per_sec, 1),
+        "unit": "steps/s",
+        "vs_baseline": round(steps_per_sec / BASELINE_STEPS_PER_SEC, 2),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    sys.exit(main())
