@@ -69,6 +69,31 @@ def contact_jacobian(model: PhysicsModel, k_fk, contacts: Contacts):
     return jnp.swapaxes(Jcols, -1, -2)         # (...,K,3,NV)
 
 
+def _inv3(m):
+    """Closed-form inverse of batched 3x3 matrices (avoids TPU LU
+    custom-calls)."""
+    a, b, c = m[..., 0, 0], m[..., 0, 1], m[..., 0, 2]
+    d, e, f = m[..., 1, 0], m[..., 1, 1], m[..., 1, 2]
+    g, h, i = m[..., 2, 0], m[..., 2, 1], m[..., 2, 2]
+    A = e * i - f * h
+    B = -(d * i - f * g)
+    C = d * h - e * g
+    D = -(b * i - c * h)
+    E = a * i - c * g
+    F = -(a * h - b * g)
+    G = b * f - c * e
+    H = -(a * f - c * d)
+    I = a * e - b * d
+    det = a * A + b * B + c * C
+    inv_det = 1.0 / jnp.where(jnp.abs(det) > 1e-12, det, 1.0)
+    adj = jnp.stack([
+        jnp.stack([A, D, G], axis=-1),
+        jnp.stack([B, E, H], axis=-1),
+        jnp.stack([C, F, I], axis=-1),
+    ], axis=-2)
+    return adj * inv_det[..., None, None]
+
+
 def solve_contacts(model: PhysicsModel, M_chol, J, v_pred, contacts: Contacts,
                    dt):
     """Projected Gauss–Seidel impulse solve.
@@ -103,33 +128,46 @@ def solve_contacts(model: PhysicsModel, M_chol, J, v_pred, contacts: Contacts,
     t2 = jnp.cross(up, t1)
     t1 = jnp.cross(t2, up)
 
-    def pgs_iter(lam, _):
-        def body(i, lam):
-            # residual velocity at contact i given current impulses
-            Ai = jax.lax.dynamic_index_in_dim(A, i, axis=A.ndim - 4,
-                                              keepdims=False)  # (...,3,K,3)
-            vi = b[..., i, :] + jnp.einsum("...njm,...jm->...n", Ai, lam)
-            Aii = jax.lax.dynamic_index_in_dim(Ai, i, axis=Ai.ndim - 2,
-                                               keepdims=False)  # (...,3,3)
-            # local solve: lam_i -= Aii^-1 vi, then project to cone
-            dli = jnp.linalg.solve(Aii, vi)
-            li = lam[..., i, :] - dli
-            ln = jnp.einsum("...i,i->...", li, up)
-            ln = jnp.maximum(ln, 0.0)
-            lt1 = jnp.einsum("...i,i->...", li, t1)
-            lt2 = jnp.einsum("...i,i->...", li, t2)
-            lt = jnp.sqrt(lt1 ** 2 + lt2 ** 2 + 1e-12)
-            scale = jnp.minimum(1.0, p.mu * ln / jnp.maximum(lt, 1e-9))
-            li = ln[..., None] * up + scale[..., None] * (
-                lt1[..., None] * t1 + lt2[..., None] * t2)
-            li = li * act[..., i, None]
-            return lam.at[..., i, :].set(li)
+    def project(li):
+        ln = jnp.einsum("...ki,i->...k", li, up)
+        ln = jnp.maximum(ln, 0.0)
+        lt1 = jnp.einsum("...ki,i->...k", li, t1)
+        lt2 = jnp.einsum("...ki,i->...k", li, t2)
+        lt = jnp.sqrt(lt1 ** 2 + lt2 ** 2 + 1e-12)
+        scale = jnp.minimum(1.0, p.mu * ln / jnp.maximum(lt, 1e-9))
+        li = (ln[..., None] * up
+              + (scale * lt1)[..., None] * t1
+              + (scale * lt2)[..., None] * t2)
+        return li * act[..., None]
 
-        lam = jax.lax.fori_loop(0, K, body, lam)
-        return lam, None
+    # Accelerated projected gradient (APGD, Nesterov momentum) on the cone-
+    # constrained QP  min 0.5 lam^T A lam + lam^T b.  A sequential
+    # Gauss–Seidel sweep would be K*iters dependent gather+LU steps per
+    # substep — pathological on TPU; APGD is one batched matmul + projection
+    # per iteration (tpu-first redesign of Bullet's sequential impulse
+    # solver; same approach as Chrono's GPU solver).
+    Af = A.reshape(batch + (K * 3, K * 3))
+    # Gershgorin bound on lambda_max(A) for the 1/L step size.
+    L = jnp.max(jnp.sum(jnp.abs(Af), axis=-1), axis=-1)
+    inv_L = 1.0 / jnp.maximum(L, 1e-8)
+
+    def mv(lam):
+        return jnp.einsum("...ij,...j->...i",
+                          Af, lam.reshape(batch + (K * 3,))
+                          ).reshape(batch + (K, 3))
+
+    def apgd_iter(carry, _):
+        lam, y, t = carry
+        g = b + mv(y)
+        lam_new = project(y - inv_L[..., None, None] * g)
+        t_new = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * t * t))
+        y_new = lam_new + ((t - 1.0) / t_new) * (lam_new - lam)
+        return (lam_new, y_new, t_new), None
 
     lam0 = jnp.zeros(batch + (K, 3), dtype=v_pred.dtype)
-    lam, _ = jax.lax.scan(pgs_iter, lam0, None, length=p.solver_iters)
+    (lam, _, _), _ = jax.lax.scan(
+        apgd_iter, (lam0, lam0, jnp.asarray(1.0, v_pred.dtype)), None,
+        length=4 * p.solver_iters)
 
     imp = jnp.einsum("...kin,...ki->...n", J, lam)             # (...,nv)
     delta_v = jax.scipy.linalg.cho_solve((M_chol, True), imp[..., None])[..., 0]

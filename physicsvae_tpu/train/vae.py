@@ -1,0 +1,213 @@
+"""Two-phase PhysicsVAE training (world-model pretrain -> cVAE), on-device.
+
+Re-build of train_physics_vae.py: the same loss structure (action
+reconstruction + KL + world-model state reconstruction + cycle consistency,
+train_physics_vae.py:361-435), the same two-phase schedule (WM-only for the
+first max_iter_world_model iterations, then freeze WM and train
+encoder+decoder, :313-351), and the same multi-step lookahead BPTT rollout
+through the world model.  Component freezing uses optax.multi_transform over
+the per-component param labels (the TPU equivalent of set_learnable_*,
+rllib_model_torch.py:930-950).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..models.physics_vae import (PhysicsVAE, PhysicsVAEConfig,
+                                  component_label)
+
+
+@dataclasses.dataclass
+class VAETrainConfig:
+    lr: float = 5e-4
+    lr_schedule: str = "step"          # step | cosine | none
+    lr_step_size: int = 50             # iterations (epochs)
+    lr_gamma: float = 0.70
+    batch_size: int = 256
+    weight_decay: float = 0.0
+    max_iter: int = 100
+    max_iter_world_model: int = 0
+    lookahead: int = 1
+    # loss coefficients (train_physics_vae.py:281-285, 331-335)
+    vae_kl_coeff: float = 1.0
+    a_rec_coeff: float = 1.0
+    s_rec_coeff: float = 0.0
+    vae_cycle_coeff: float = 1e-3
+
+
+def phase_coeffs(cfg: VAETrainConfig, world_phase: bool):
+    """read_loss_fn_coeff (train_physics_vae.py:331-335)."""
+    if world_phase:
+        return dict(kl=0.0, a_rec=0.0, s_rec=1.0, cyc=0.0)
+    return dict(kl=cfg.vae_kl_coeff, a_rec=cfg.a_rec_coeff,
+                s_rec=cfg.s_rec_coeff, cyc=cfg.vae_cycle_coeff)
+
+
+def trainable_labels(world_phase: bool):
+    """Which components receive gradients in each phase
+    (train_physics_vae.py:326-335, 341-351)."""
+    if world_phase:
+        frozen = {"task_encoder", "motor_decoder", "motor_decoder_helper",
+                  "latent_prior", "value_branch"}
+    else:
+        frozen = {"world_model", "value_branch"}
+
+    def label_fn(params):
+        return jax.tree_util.tree_map_with_path(
+            lambda p, _: "frozen" if component_label(p) in frozen
+            else "train", params)
+
+    return label_fn
+
+
+def make_optimizer(cfg: VAETrainConfig, world_phase: bool,
+                   steps_per_epoch: int = 1):
+    if cfg.lr_schedule == "step":
+        # StepLR(step_size epochs, gamma): the reference steps the LR once
+        # per tune iteration (= epoch), so convert update count -> epochs.
+        per = max(1, cfg.lr_step_size * steps_per_epoch)
+        sched = lambda count: cfg.lr * (cfg.lr_gamma ** (count // per))
+    elif cfg.lr_schedule == "cosine":
+        sched = optax.cosine_decay_schedule(cfg.lr, cfg.max_iter)
+    else:
+        sched = cfg.lr
+    base = optax.adamw(sched, weight_decay=cfg.weight_decay) \
+        if cfg.weight_decay > 0 else optax.adam(sched)
+    return optax.multi_transform(
+        {"train": base, "frozen": optax.set_to_zero()},
+        trainable_labels(world_phase))
+
+
+def kl_loss(prior_type, aux):
+    """KL / prior losses (train_physics_vae.py:383-409)."""
+    if prior_type == "normal_zero_mean_one_std":
+        mu, logvar = aux["mu"], aux["logvar"]
+        return jnp.mean(
+            -0.5 * jnp.sum(1 + logvar - mu ** 2 - jnp.exp(logvar), axis=-1))
+    if prior_type == "normal_state_mean_one_std":
+        mu1, logvar1 = aux["mu"], aux["logvar"]
+        mu2 = aux["prior_mu"]
+        # KL(N(mu1,var1) || N(mu2,1)) summed over dims, mean over batch
+        var1 = jnp.exp(logvar1)
+        kl = 0.5 * ((mu1 - mu2) ** 2 + var1 - logvar1 - 1.0)
+        return jnp.mean(jnp.sum(kl, axis=-1))
+    if prior_type == "hypersphere_uniform":
+        # alignment penalty with a random prior direction
+        mu1, mu2 = aux["mu"], aux["prior_mu"]
+        return jnp.mean(jnp.sum(mu1 * mu2, axis=-1))
+    return 0.0
+
+
+def make_loss_fn(model: PhysicsVAE, cfg: VAETrainConfig):
+    mcfg = model.cfg
+    dim_sb = mcfg.dim_state_body
+    dim_a = mcfg.dim_action
+    prior = mcfg.latent_prior_type
+
+    def loss_fn(params, constants, x, y, rng, coeffs):
+        """x: (B, lookahead, 2*dim_sb); y: (B, lookahead, dim_a).
+
+        Multi-step rollout through the world model: s1 for step t+1 is the
+        world model's prediction from step t (train_physics_vae.py:361-435).
+        """
+        variables = {"params": params, "constants": constants}
+        loss_a = loss_kl = loss_s = loss_cyc = 0.0
+        s1 = x[:, 0, :dim_sb]
+        for t in range(cfg.lookahead):
+            rng, sub, sub2 = jax.random.split(rng, 3)
+            s2_gt = x[:, t, dim_sb:]
+            y_gt = y[:, t]
+            x_t = jnp.concatenate([s1, s2_gt], axis=-1)
+            logits, aux = model.apply(variables, x_t, rng=sub)
+            y_pred = logits[..., :dim_a]
+
+            loss_a += jnp.mean((y_gt - y_pred) ** 2)
+            loss_kl += kl_loss(prior, aux) if prior else 0.0
+            # world model supervised on ground-truth action
+            if coeffs["s_rec"] > 0.0:
+                s2_pred_gt = model.apply(
+                    variables, s1, y_gt, method=PhysicsVAE.world)
+                loss_s += jnp.mean((s2_gt - s2_pred_gt) ** 2)
+            # cycle consistency through the policy's own action
+            loss_cyc += jnp.mean((s2_gt - aux["future_state"]) ** 2)
+            s1 = aux["future_state"]
+
+        n = float(cfg.lookahead)
+        total = (coeffs["a_rec"] * loss_a / n
+                 + coeffs["kl"] * loss_kl / n
+                 + coeffs["s_rec"] * loss_s / n
+                 + coeffs["cyc"] * loss_cyc / n)
+        metrics = {"loss": total, "loss_a": loss_a / n, "loss_kl": loss_kl / n,
+                   "loss_s": loss_s / n, "loss_cyc": loss_cyc / n}
+        return total, metrics
+
+    return loss_fn
+
+
+class VAETrainer:
+    """Host-side loop; each minibatch update is one jitted step.
+
+    Mirrors TrainModel (train_physics_vae.py:313-467 + torch_models.py:109-161)
+    with the phase switch at iter == max_iter_world_model.
+    """
+
+    def __init__(self, mcfg: PhysicsVAEConfig, cfg: VAETrainConfig, rng):
+        self.model = PhysicsVAE(mcfg)
+        self.cfg = cfg
+        obs = jnp.zeros((1, mcfg.dim_state))
+        variables = self.model.init({"params": rng}, obs, rng=rng,
+                                    sample=False)
+        self.params = variables["params"]
+        self.constants = variables.get("constants", {})
+        self.iter = 0
+        self.world_phase = cfg.max_iter_world_model > 0
+        self._build(self.world_phase)
+        self.loss_fn = make_loss_fn(self.model, cfg)
+        self.rng = rng
+
+    def _build(self, world_phase: bool):
+        self.tx = make_optimizer(self.cfg, world_phase,
+                                 getattr(self, "_steps_per_epoch", 1))
+        self.opt_state = self.tx.init(self.params)
+        # coefficients are Python floats, baked in statically at trace time
+        self.coeffs = phase_coeffs(self.cfg, world_phase)
+        coeffs = dict(self.coeffs)
+
+        def _step(params, opt_state, constants, x, y, rng):
+            (loss, metrics), grads = jax.value_and_grad(
+                self.loss_fn, has_aux=True)(
+                    params, constants, x, y, rng, coeffs)
+            updates, opt_state = self.tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, metrics
+
+        self._step_jit = jax.jit(_step)
+
+    def train_epoch(self, batches):
+        """One tune-iteration = one epoch (torch_models.py:131-145)."""
+        if self.world_phase and self.iter >= self.cfg.max_iter_world_model:
+            # phase switch (train_physics_vae.py:342-350)
+            self.world_phase = False
+            self._build(False)
+        self.iter += 1
+        losses = []
+        if not hasattr(self, "_steps_per_epoch"):
+            self._steps_per_epoch = max(1, len(batches.X) // batches.batch_size)
+            self._build(self.world_phase)
+        for x, y in batches.epoch():
+            self.rng, sub = jax.random.split(self.rng)
+            self.params, self.opt_state, metrics = self._step_jit(
+                self.params, self.opt_state, self.constants,
+                jnp.asarray(x), jnp.asarray(y), sub)
+            losses.append(metrics)
+        mean = {k: float(np.mean([float(m[k]) for m in losses]))
+                for k in losses[0]}
+        mean["iter"] = self.iter
+        mean["phase"] = "world_model" if self.world_phase else "cvae"
+        return mean

@@ -1,0 +1,142 @@
+"""Two-phase cVAE training on synthetic dynamics: the world model must learn
+phase 1; encoder/decoder must reconstruct actions in phase 2 with the WM
+frozen (parity with train_physics_vae.py's schedule)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from physicsvae_tpu.models.fc import default_fc_layers
+from physicsvae_tpu.models.physics_vae import PhysicsVAEConfig
+from physicsvae_tpu.train.dataset import Batches, load_physics_vae_dataset, \
+    save_demo_dataset
+from physicsvae_tpu.train.vae import VAETrainConfig, VAETrainer
+
+
+DIM_SB, DIM_A = 8, 4
+
+
+def synthetic_dataset(n=2048, seed=0):
+    """Linear dynamics s' = As + Ba with random actions."""
+    rng = np.random.default_rng(seed)
+    A = rng.normal(size=(DIM_SB, DIM_SB)) * 0.3
+    B = rng.normal(size=(DIM_A, DIM_SB)) * 0.5
+    s = rng.normal(size=(n, DIM_SB)).astype(np.float32)
+    a = rng.normal(size=(n, DIM_A)).astype(np.float32)
+    s2 = (s @ A + a @ B).astype(np.float32)
+    X = np.concatenate([s, s2], axis=-1)[:, None, :]
+    Y = a[:, None, :]
+    return X, Y
+
+
+def small_mcfg():
+    return PhysicsVAEConfig(
+        dim_state_body=DIM_SB, dim_state_task=DIM_SB, dim_action=DIM_A,
+        task_encoder_layers=tuple(default_fc_layers(64, 2)),
+        motor_decoder_layers=tuple(default_fc_layers(64, 2)),
+        world_model_layers=tuple(default_fc_layers(64, 2)),
+        value_fn_layers=tuple(default_fc_layers(32, 1)),
+        task_encoder_output_dim=4)
+
+
+def test_two_phase_training():
+    X, Y = synthetic_dataset()
+    tcfg = VAETrainConfig(lr=2e-3, batch_size=256, max_iter=16,
+                          max_iter_world_model=8, vae_kl_coeff=1e-3,
+                          vae_cycle_coeff=1e-3)
+    tr = VAETrainer(small_mcfg(), tcfg, jax.random.PRNGKey(0))
+    batches = Batches(X, Y, tcfg.batch_size)
+
+    logs = []
+    for i in range(16):
+        logs.append(tr.train_epoch(batches))
+
+    # phase 1 learned the world model
+    wm_losses = [l["loss_s"] for l in logs if l["phase"] == "world_model"]
+    assert wm_losses[-1] < wm_losses[0] * 0.5
+    assert wm_losses[-1] < 0.35
+
+    # phase 2: action reconstruction improves
+    a_losses = [l["loss_a"] for l in logs if l["phase"] == "cvae"]
+    assert a_losses[-1] < a_losses[0]
+
+    # WM was frozen during phase 2
+    wm0 = logs[7]
+    assert logs[-1]["phase"] == "cvae"
+
+
+def test_world_model_frozen_in_phase2():
+    X, Y = synthetic_dataset(512)
+    tcfg = VAETrainConfig(lr=1e-3, batch_size=128, max_iter=4,
+                          max_iter_world_model=2)
+    tr = VAETrainer(small_mcfg(), tcfg, jax.random.PRNGKey(1))
+    batches = Batches(X, Y, tcfg.batch_size)
+    tr.train_epoch(batches)
+    tr.train_epoch(batches)
+    # switch to phase 2
+    tr.train_epoch(batches)
+    wm_before = jax.tree.map(lambda x: np.asarray(x).copy(),
+                             tr.params["world_model"])
+    enc_before = jax.tree.map(lambda x: np.asarray(x).copy(),
+                              tr.params["task_encoder"])
+    tr.train_epoch(batches)
+    wm_after = tr.params["world_model"]
+    enc_after = tr.params["task_encoder"]
+    for a, b in zip(jax.tree.leaves(wm_before), jax.tree.leaves(wm_after)):
+        assert np.array_equal(a, np.asarray(b))  # frozen
+    changed = any(
+        not np.allclose(a, np.asarray(b))
+        for a, b in zip(jax.tree.leaves(enc_before),
+                        jax.tree.leaves(enc_after)))
+    assert changed
+
+
+def test_dataset_pickle_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    T = 20
+    episodes = [{
+        "time": list(np.arange(T) / 30.0),
+        "state": [rng.normal(size=16) for _ in range(T)],
+        "action": [rng.normal(size=DIM_A).astype(np.float32)
+                   for _ in range(T)],
+        "action_gt": [rng.normal(size=DIM_A) for _ in range(T)],
+        "reward": [1.0] * T,
+        "state_body": [rng.normal(size=DIM_SB).astype(np.float32)
+                       for _ in range(T)],
+        "state_task": [rng.normal(size=DIM_SB) for _ in range(T)],
+    } for _ in range(3)]
+    path = str(tmp_path / "demo.pkl")
+    save_demo_dataset(path, episodes,
+                      {"state": 16, "state_body": DIM_SB,
+                       "state_task": DIM_SB, "action": DIM_A},
+                      exp_std=0.05, iter_per_episode=10)
+    X, Y, data = load_physics_vae_dataset([path], lookahead=2)
+    assert X.shape == (3 * (T - 2), 2, 2 * DIM_SB)
+    assert Y.shape == (3 * (T - 2), 2, DIM_A)
+    assert data["exp_std"] == 0.05
+    # x[t] = [sb_t, sb_{t+1}]
+    ep0 = episodes[0]
+    assert np.allclose(X[0, 0, :DIM_SB], ep0["state_body"][0])
+    assert np.allclose(X[0, 0, DIM_SB:], ep0["state_body"][1])
+    assert np.allclose(Y[0, 1], ep0["action"][1])
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from physicsvae_tpu.train.checkpoint import (load_component, load_model,
+                                                 save_model)
+    tcfg = VAETrainConfig(max_iter=1)
+    tr = VAETrainer(small_mcfg(), tcfg, jax.random.PRNGKey(2))
+    d = str(tmp_path / "ckpt")
+    save_model(d, tr.params)
+    restored = load_model(d, like_params=tr.params)
+    for a, b in zip(jax.tree.leaves(tr.params), jax.tree.leaves(restored)):
+        assert np.allclose(np.asarray(a), np.asarray(b))
+    # component graft: zero out decoder, then load it back
+    import jax.numpy as jnp
+    zeroed = dict(tr.params)
+    zeroed["motor_decoder"] = jax.tree.map(jnp.zeros_like,
+                                           tr.params["motor_decoder"])
+    grafted = load_component(d, zeroed, "motor_decoder")
+    for a, b in zip(jax.tree.leaves(grafted["motor_decoder"]),
+                    jax.tree.leaves(tr.params["motor_decoder"])):
+        assert np.allclose(np.asarray(a), np.asarray(b))
