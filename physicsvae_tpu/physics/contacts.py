@@ -94,11 +94,11 @@ def _inv3(m):
     return adj * inv_det[..., None, None]
 
 
-def solve_contacts(model: PhysicsModel, M_chol, J, v_pred, contacts: Contacts,
+def solve_contacts(model: PhysicsModel, Minv, J, v_pred, contacts: Contacts,
                    dt):
-    """Projected Gauss–Seidel impulse solve.
+    """Cone-constrained contact impulse solve (APGD).
 
-    M_chol: cholesky factor of the (damped) mass matrix, (...,NV,NV).
+    Minv: explicit inverse of the damped mass matrix, (...,NV,NV).
     J: (...,K,3,NV).  v_pred: (...,NV) post-force velocity.
     Returns (delta_v (...,NV), impulses (...,K,3)).
     """
@@ -108,9 +108,7 @@ def solve_contacts(model: PhysicsModel, M_chol, J, v_pred, contacts: Contacts,
     batch = v_pred.shape[:-1]
 
     Jf = J.reshape(batch + (K * 3, nv))
-    # W = M^-1 J^T via the prefactored cholesky
-    W = jax.scipy.linalg.cho_solve((M_chol, True),
-                                   jnp.swapaxes(Jf, -1, -2))  # (...,nv,3K)
+    W = jnp.einsum("...ij,...kj->...ik", Minv, Jf)            # (...,nv,3K)
     A = jnp.einsum("...ik,...kj->...ij", Jf, W)               # (...,3K,3K)
     A = A.reshape(batch + (K, 3, K, 3))
 
@@ -169,6 +167,7 @@ def solve_contacts(model: PhysicsModel, M_chol, J, v_pred, contacts: Contacts,
         apgd_iter, (lam0, lam0, jnp.asarray(1.0, v_pred.dtype)), None,
         length=4 * p.solver_iters)
 
-    imp = jnp.einsum("...kin,...ki->...n", J, lam)             # (...,nv)
-    delta_v = jax.scipy.linalg.cho_solve((M_chol, True), imp[..., None])[..., 0]
+    # delta_v = M^-1 J^T lam = W lam
+    delta_v = jnp.einsum("...nk,...k->...n", W,
+                         lam.reshape(batch + (K * 3,)))
     return delta_v, lam

@@ -13,6 +13,7 @@ import dataclasses
 from typing import Any
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 from ..maths import quaternion as quat
@@ -79,22 +80,18 @@ def fk(model: PhysicsModel, state: SimState) -> FKResult:
     body_com = body_p + r_com
     body_vcom = body_vo + jnp.cross(body_w, r_com)
 
-    # Per-dof world axes/anchors
-    eye = jnp.eye(3)
-    dof_axis = [jnp.broadcast_to(eye[d], batch + (3,)) for d in range(3)]
-    dof_pos = [jnp.zeros(batch + (3,))] * 3
-    dof_axis += [jnp.broadcast_to(eye[d], batch + (3,)) for d in range(3)]
-    dof_pos += [state.root_p] * 3
-    for j in range(J):
-        s = int(model.joint_dof_start[j])
-        if s < 0:
-            continue
-        Rj = quat.to_matrix(body_q[..., j + 1, :])
-        for a in range(3):
-            dof_axis.append(Rj[..., :, a])
-            dof_pos.append(body_p[..., j + 1, :])
-    dof_axis = jnp.stack(dof_axis, axis=-2)
-    dof_pos = jnp.stack(dof_pos, axis=-2)
+    # Per-dof world axes/anchors: one to_matrix + two static gathers instead
+    # of a Python loop of stacks (cuts ~120 dispatched ops per substep).
+    dof_body = jnp.asarray(model.dof_body)       # (NV,)
+    dof_joint = np.asarray(model.dof_joint)
+    onehot = jnp.asarray(np.eye(3)[np.asarray(model.dof_axis)],
+                         dtype=body_q.dtype)     # (NV,3)
+    R_bodies = quat.to_matrix(body_q)            # (...,NB,3,3)
+    R_d = R_bodies[..., dof_body, :, :]          # (...,NV,3,3)
+    axis_joint = jnp.einsum("...dij,dj->...di", R_d, onehot)
+    is_root_dof = jnp.asarray(dof_joint < 0)[:, None]
+    dof_axis = jnp.where(is_root_dof, onehot, axis_joint)
+    dof_pos = body_p[..., dof_body, :]           # root dofs -> root_p
 
     return FKResult(
         body_q=body_q, body_p=body_p, body_com=body_com,

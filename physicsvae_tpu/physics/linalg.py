@@ -1,0 +1,42 @@
+"""Batched SPD linear algebra tuned for TPU.
+
+TPU's XLA Cholesky/TriangularSolve custom-calls are loop-heavy and dominate
+the substep at scale (profiled ~15 ms of a 26 ms substep at B=2048).  The
+tpu-native design: compute the explicit inverse of the damped mass matrix
+once per control step, then keep it current across the 16 substeps with
+warm-started Newton–Schulz refinement — two (B,60,60) matmuls per substep
+that run on the MXU instead of sequential factorizations.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def spd_inverse(M):
+    """Exact inverse of a batched SPD matrix via Cholesky (slow path; used
+    once per control step)."""
+    L = jnp.linalg.cholesky(M)
+    eye = jnp.broadcast_to(jnp.eye(M.shape[-1], dtype=M.dtype), M.shape)
+    return jax.scipy.linalg.cho_solve((L, True), eye)
+
+
+def ns_refine(M, X, iters: int = 2):
+    """Newton–Schulz refinement X <- X(2I - MX) toward M^-1.
+
+    Converges quadratically when ||I - MX|| < 1, which holds when X is the
+    inverse from the previous substep (M changes O(dt) per 1/480 s substep).
+    Symmetrized every iteration to stay SPD.
+    """
+    for _ in range(iters):
+        MX = jnp.einsum("...ij,...jk->...ik", M, X)
+        X = 2.0 * X - jnp.einsum("...ij,...jk->...ik", X, MX)
+        X = 0.5 * (X + jnp.swapaxes(X, -1, -2))
+    return X
+
+
+def inverse_quality(M, X):
+    """max ||I - MX||_inf over the batch (diagnostic)."""
+    eye = jnp.eye(M.shape[-1], dtype=M.dtype)
+    R = eye - jnp.einsum("...ij,...jk->...ik", M, X)
+    return jnp.max(jnp.sum(jnp.abs(R), axis=-1))

@@ -44,24 +44,29 @@ class SimState:
         return self.vel[..., 3:6]
 
 
+def _movable_joints(model: PhysicsModel):
+    import numpy as np
+    return jnp.asarray(np.where(model.movable)[0])
+
+
 def joint_omega(model: PhysicsModel, state: SimState):
-    """(...,J,3) local angular velocity per joint (zeros for fixed)."""
+    """(...,J,3) local angular velocity per joint (zeros for fixed).
+
+    Movable-joint dofs are laid out contiguously after the 6 root dofs in
+    joint order, so this is one reshape + one static scatter.
+    """
     J = model.num_joints
-    out = jnp.zeros(state.batch_shape + (J, 3), dtype=state.vel.dtype)
-    for j in range(J):
-        s = int(model.joint_dof_start[j])
-        if s >= 0:
-            out = out.at[..., j, :].set(state.vel[..., s:s + 3])
-    return out
+    batch = state.batch_shape
+    om_mov = state.vel[..., 6:].reshape(batch + (-1, 3))
+    out = jnp.zeros(batch + (J, 3), dtype=state.vel.dtype)
+    return out.at[..., _movable_joints(model), :].set(om_mov)
 
 
 def set_joint_omega(model: PhysicsModel, vel, omega):
     """Scatter (...,J,3) local joint angular velocities into packed vel."""
-    for j in range(model.num_joints):
-        s = int(model.joint_dof_start[j])
-        if s >= 0:
-            vel = vel.at[..., s:s + 3].set(omega[..., j, :])
-    return vel
+    om_mov = omega[..., _movable_joints(model), :]
+    return vel.at[..., 6:].set(
+        om_mov.reshape(om_mov.shape[:-2] + (-1,)))
 
 
 def default_state(model: PhysicsModel, batch_shape=()) -> SimState:

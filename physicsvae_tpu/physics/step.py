@@ -6,6 +6,11 @@ Replaces the reference hot loop `num_substep x {actuate; stepSimulation}`
 (sim_agent.py:694-703).  Stable PD follows Tan et al.: the damping term is
 implicit — (M + dt*Kd) qdd = tau_ext - c - kp*err(q + dt qdot, q_target)
 - kd*qdot — which is what makes kp=500 stable at 480 Hz.
+
+TPU design note: all solves use an explicit inverse of the damped mass
+matrix, computed exactly once per control step and kept current across the
+16 substeps by Newton–Schulz refinement (see physics/linalg.py) — the
+factorization-free path keeps the whole substep on the MXU/VPU.
 """
 from __future__ import annotations
 
@@ -13,11 +18,13 @@ from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..maths import quaternion as quat
 from . import contacts as contacts_mod
 from .dynamics import dynamics_terms
 from .fk import contact_point_positions, fk
+from .linalg import ns_refine, spd_inverse
 from .model import PhysicsModel
 from .state import SimState, joint_omega
 
@@ -55,20 +62,20 @@ def spd_torque(model: PhysicsModel, state: SimState, action: Action, dt):
     kd = jnp.asarray(model.kd)
     max_f = jnp.asarray(model.max_force)
     damping = jnp.asarray(model.damping)
+    mov = jnp.asarray(np.where(model.movable)[0])
 
     om = joint_omega(model, state)                       # (...,J,3)
     q_adv = quat.integrate(state.joint_q, om, dt)
     # error rotation from advanced pose to target, in the child joint frame
     err = quat.to_axis_angle(quat.mul(quat.conjugate(q_adv), action.target_q))
 
-    tau = jnp.zeros(state.vel.shape)
-    for j in range(model.num_joints):
-        s = int(model.joint_dof_start[j])
-        if s < 0:
-            continue
-        t = (kp[s:s + 3] * err[..., j, :]
-             + kd[s:s + 3] * (action.target_w[..., j, :] - om[..., j, :]))
-        tau = tau.at[..., s:s + 3].set(t)
+    # Movable-joint dofs are contiguous after the 6 root dofs, in joint order.
+    t_mov = (err[..., mov, :] * kp[6:].reshape(-1, 3)
+             + (action.target_w[..., mov, :] - om[..., mov, :])
+             * kd[6:].reshape(-1, 3))
+    batch = state.vel.shape[:-1]
+    tau = jnp.concatenate(
+        [jnp.zeros(batch + (6,)), t_mov.reshape(batch + (-1,))], axis=-1)
     tau = jnp.clip(tau, -max_f, max_f)
     # URDF joint damping applied explicitly
     tau = tau - damping * state.vel
@@ -81,24 +88,31 @@ def spd_torque(model: PhysicsModel, state: SimState, action: Action, dt):
     return tau
 
 
+def _damped_mass_matrix(model: PhysicsModel, M, dt):
+    kd_diag = jnp.asarray(model.kd) + jnp.asarray(model.damping)
+    return M + dt * jnp.diag(kd_diag)
+
+
 def substep(model: PhysicsModel, state: SimState, action: Action,
-            ground_height=0.0) -> SimState:
-    """One physics substep at dt_sim (480 Hz for the loco config)."""
+            Minv=None, ground_height=0.0):
+    """One physics substep at dt_sim (480 Hz for the loco config).
+
+    Minv: warm-start inverse of the damped mass matrix from the previous
+    substep; None -> exact factorization.  Returns (state, Minv).
+    """
     p = model.params
     dt = p.dt_sim
 
     k = fk(model, state)
     S, M, c = dynamics_terms(model, state, k)
+    M_hat = _damped_mass_matrix(model, M, dt)
+    if Minv is None:
+        Minv = spd_inverse(M_hat)
+    else:
+        Minv = ns_refine(M_hat, Minv, iters=2)
 
     tau = spd_torque(model, state, action, dt)
-
-    # Implicit PD damping on the LHS: M + dt * diag(kd)
-    kd_diag = jnp.asarray(model.kd) + jnp.asarray(model.damping)
-    M_hat = M + dt * jnp.diag(kd_diag)
-
-    M_chol = jnp.linalg.cholesky(M_hat)
-    rhs = (tau - c)[..., None]
-    qdd = jax.scipy.linalg.cho_solve((M_chol, True), rhs)[..., 0]
+    qdd = jnp.einsum("...ij,...j->...i", Minv, tau - c)
     v_pred = state.vel + dt * qdd
 
     # Contacts on the predicted velocity
@@ -106,30 +120,39 @@ def substep(model: PhysicsModel, state: SimState, action: Action,
     depth = contacts_mod.detect_ground(model, x, ground_height)
     cons = contacts_mod.select_contacts(model, x, depth)
     J = contacts_mod.contact_jacobian(model, k, cons)
-    dv, _ = contacts_mod.solve_contacts(model, M_chol, J, v_pred, cons, dt)
+    dv, _ = contacts_mod.solve_contacts(model, Minv, J, v_pred, cons, dt)
     vel = v_pred + dv
 
     # Semi-implicit Euler integration
     om = joint_omega(model, SimState(state.root_p, state.root_q,
                                      state.joint_q, vel))
-    return SimState(
+    new_state = SimState(
         root_p=state.root_p + dt * vel[..., 0:3],
         root_q=quat.integrate_world(state.root_q, vel[..., 3:6], dt),
         joint_q=quat.integrate(state.joint_q, om, dt),
         vel=vel,
     )
+    return new_state, Minv
 
 
 def control_step(model: PhysicsModel, state: SimState, action: Action,
                  ground_height=0.0) -> SimState:
     """One control step = num_substeps physics substeps under lax.scan
-    (mirrors envs/env_humanoid_tracking.py:393-399)."""
+    (mirrors envs/env_humanoid_tracking.py:393-399).
 
-    def body(st, _):
-        return substep(model, st, action, ground_height), None
+    The first substep factorizes the damped mass matrix exactly; the
+    remaining substeps refine the inverse (Newton–Schulz warm start).
+    """
+    state, Minv = substep(model, state, action, None, ground_height)
 
-    out, _ = jax.lax.scan(body, state, None, length=model.params.num_substeps)
-    return out
+    def body(carry, _):
+        st, Mi = carry
+        st, Mi = substep(model, st, action, Mi, ground_height)
+        return (st, Mi), None
+
+    (state, _), _ = jax.lax.scan(
+        body, (state, Minv), None, length=model.params.num_substeps - 1)
+    return state
 
 
 def check_ground_contact(model: PhysicsModel, state: SimState,

@@ -1,0 +1,229 @@
+"""On-device batched PPO — the ScaDiver imitation stage without Ray.
+
+Replaces rllib PPO/DDPPO + worker actors (reference rllib_driver.py:285-298,
+SURVEY.md §2.3): rollouts are a vmapped env under lax.scan with autoreset,
+GAE + clipped-surrogate epochs run in the same program, and multi-chip
+scale-out is data-parallel gradient psum over a `data` mesh axis (supersedes
+both PPO's centralized learner and DDPPO's in-worker allreduce).
+
+Hyperparameter parity with data/spec/loco/loco_imitation.yaml:9-37.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..env.imitation import ImitationEnv
+from ..models.policy import (FullyConnectedPolicy, PolicyConfig, log_prob,
+                             sample_action)
+
+
+@dataclasses.dataclass
+class PPOConfig:
+    """Defaults from loco_imitation.yaml config block."""
+    gamma: float = 0.98
+    lam: float = 0.95
+    clip_param: float = 0.2
+    vf_clip_param: float = 1000.0
+    num_sgd_iter: int = 20
+    lr: float = 2e-5
+    sgd_minibatch_size: int = 500
+    horizon: int = 900
+    rollout_length: int = 128     # steps per env per iteration
+    num_envs: int = 1024
+    grad_clip: Optional[float] = None
+    sample_std: float = 0.1
+    log_std_type: str = "constant"
+    vf_loss_coeff: float = 1.0
+    entropy_coeff: float = 0.0
+
+
+def compute_gae(rewards, values, dones, last_value, gamma, lam):
+    """Generalized advantage estimation over a (T, B) rollout."""
+
+    def body(carry, x):
+        gae, next_value = carry
+        reward, value, done = x
+        nonterm = 1.0 - done
+        delta = reward + gamma * next_value * nonterm - value
+        gae = delta + gamma * lam * nonterm * gae
+        return (gae, value), gae
+
+    (_, _), adv = jax.lax.scan(
+        body, (jnp.zeros_like(last_value), last_value),
+        (rewards, values, dones), reverse=True)
+    returns = adv + values
+    return adv, returns
+
+
+class PPOTrainer:
+    """Single-program PPO over a vmapped ImitationEnv.
+
+    `mesh_axis`: if not None, gradients and batch statistics are psum'd over
+    that named mesh axis (multi-chip data parallelism; see parallel/mesh.py).
+    """
+
+    def __init__(self, env: ImitationEnv, cfg: PPOConfig, rng,
+                 mesh_axis: Optional[str] = None):
+        self.env = env
+        self.cfg = cfg
+        pcfg = PolicyConfig(
+            dim_state=env.dim_state, dim_action=env.dim_action,
+            log_std_type=cfg.log_std_type, sample_std=cfg.sample_std)
+        self.policy = FullyConnectedPolicy(pcfg)
+        rng, sub = jax.random.split(rng)
+        variables = self.policy.init({"params": sub},
+                                     jnp.zeros((1, env.dim_state)))
+        self.params = variables["params"]
+        self.constants = variables.get("constants", {})
+        self.tx = optax.adam(cfg.lr) if cfg.grad_clip is None else optax.chain(
+            optax.clip_by_global_norm(cfg.grad_clip), optax.adam(cfg.lr))
+        self.opt_state = self.tx.init(self.params)
+        self.rng = rng
+        self.mesh_axis = mesh_axis
+        self.timesteps_total = 0
+
+        self._rollout_jit = jax.jit(self.rollout)
+        self._update_jit = jax.jit(self.update_epochs)
+
+    # -- rollout --------------------------------------------------------
+
+    def init_envs(self, rng):
+        rngs = jax.random.split(rng, self.cfg.num_envs)
+        st = jax.vmap(self.env.reset)(rngs)
+        obs = jax.vmap(self.env.observe)(st)
+        return st, obs
+
+    def policy_forward(self, params, obs):
+        variables = {"params": params, "constants": self.constants}
+        return self.policy.apply(variables, obs)
+
+    def rollout(self, params, env_state, obs, rng):
+        """T steps of (policy -> env.step_auto) under lax.scan."""
+        T = self.cfg.rollout_length
+
+        def body(carry, _):
+            st, obs, rng = carry
+            rng, k_act = jax.random.split(rng)
+            logits, value = self.policy_forward(params, obs)
+            action = sample_action(k_act, logits, self.env.dim_action)
+            lp = log_prob(logits, self.env.dim_action, action)
+            st2, obs2, rew, done, _ = jax.vmap(self.env.step_auto)(st, action)
+            out = dict(obs=obs, action=action, logp=lp, value=value,
+                       reward=rew, done=done)
+            return (st2, obs2, rng), out
+
+        (st, obs, rng), traj = jax.lax.scan(
+            body, (env_state, obs, rng), None, length=T)
+        _, last_value = self.policy_forward(params, obs)
+        adv, ret = compute_gae(traj["reward"], traj["value"],
+                               traj["done"].astype(jnp.float32), last_value,
+                               self.cfg.gamma, self.cfg.lam)
+        traj["advantage"] = adv
+        traj["return"] = ret
+        return st, obs, rng, traj
+
+    # -- update ---------------------------------------------------------
+
+    def _loss(self, params, batch):
+        cfg = self.cfg
+        logits, value = self.policy_forward(params, batch["obs"])
+        lp = log_prob(logits, self.env.dim_action, batch["action"])
+        ratio = jnp.exp(lp - batch["logp"])
+        adv = batch["advantage"]
+        surr1 = ratio * adv
+        surr2 = jnp.clip(ratio, 1 - cfg.clip_param, 1 + cfg.clip_param) * adv
+        policy_loss = -jnp.mean(jnp.minimum(surr1, surr2))
+        vf_err = jnp.clip(value - batch["return"],
+                          -cfg.vf_clip_param, cfg.vf_clip_param)
+        vf_loss = jnp.mean(vf_err ** 2)
+        mean, log_std = logits[..., :self.env.dim_action], \
+            logits[..., self.env.dim_action:]
+        entropy = jnp.mean(jnp.sum(log_std + 0.5 * np.log(2 * np.pi * np.e),
+                                   axis=-1))
+        total = (policy_loss + cfg.vf_loss_coeff * vf_loss
+                 - cfg.entropy_coeff * entropy)
+        return total, dict(policy_loss=policy_loss, vf_loss=vf_loss,
+                           entropy=entropy)
+
+    def update_epochs(self, params, opt_state, traj, rng):
+        cfg = self.cfg
+        T, B = traj["reward"].shape
+        N = T * B
+        flat = {k: v.reshape((N,) + v.shape[2:]) for k, v in traj.items()}
+        # advantage normalization over the full batch
+        adv = flat["advantage"]
+        if self.mesh_axis:
+            mean = jax.lax.pmean(jnp.mean(adv), self.mesh_axis)
+            var = jax.lax.pmean(jnp.mean((adv - mean) ** 2), self.mesh_axis)
+        else:
+            mean = jnp.mean(adv)
+            var = jnp.var(adv)
+        flat["advantage"] = (adv - mean) / jnp.sqrt(var + 1e-8)
+
+        mb = min(cfg.sgd_minibatch_size, N)
+        nmb = max(N // mb, 1)
+
+        def epoch(carry, _):
+            params, opt_state, rng = carry
+            rng, k = jax.random.split(rng)
+            perm = jax.random.permutation(k, N)
+
+            def minibatch(carry, idx):
+                params, opt_state = carry
+                batch = {k2: v[idx] for k2, v in flat.items()}
+                (loss, metrics), grads = jax.value_and_grad(
+                    self._loss, has_aux=True)(params, batch)
+                if self.mesh_axis:
+                    grads = jax.lax.pmean(grads, self.mesh_axis)
+                updates, opt_state = self.tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), metrics
+
+            idxs = perm[:nmb * mb].reshape(nmb, mb)
+            (params, opt_state), metrics = jax.lax.scan(
+                minibatch, (params, opt_state), idxs)
+            return (params, opt_state, rng), metrics
+
+        (params, opt_state, rng), metrics = jax.lax.scan(
+            epoch, (params, opt_state, rng), None, length=cfg.num_sgd_iter)
+        metrics = jax.tree.map(lambda x: jnp.mean(x), metrics)
+        return params, opt_state, rng, metrics
+
+    # -- outer loop ------------------------------------------------------
+
+    def train_iteration(self, env_state, obs):
+        self.rng, k1 = jax.random.split(self.rng)
+        env_state, obs, _, traj = self._rollout_jit(
+            self.params, env_state, obs, k1)
+        self.rng, k2 = jax.random.split(self.rng)
+        self.params, self.opt_state, _, metrics = self._update_jit(
+            self.params, self.opt_state, traj, k2)
+        self.timesteps_total += self.cfg.rollout_length * self.cfg.num_envs
+        metrics = {k: float(v) for k, v in metrics.items()}
+        metrics["episode_reward_mean"] = float(jnp.mean(traj["reward"]))
+        metrics["timesteps_total"] = self.timesteps_total
+        return env_state, obs, metrics
+
+    def train(self, num_iterations, log_fn=print):
+        self.rng, k = jax.random.split(self.rng)
+        env_state, obs = self.init_envs(k)
+        history = []
+        for it in range(num_iterations):
+            t0 = time.perf_counter()
+            env_state, obs, metrics = self.train_iteration(env_state, obs)
+            metrics["iter"] = it
+            metrics["steps_per_sec"] = (
+                self.cfg.rollout_length * self.cfg.num_envs
+                / (time.perf_counter() - t0))
+            history.append(metrics)
+            if log_fn:
+                log_fn(metrics)
+        return history

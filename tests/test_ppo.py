@@ -1,0 +1,91 @@
+"""PPO machinery tests: GAE against a hand-rolled reference, and learning on
+a toy point-mass task (fast enough for CI; the humanoid PPO path shares all
+the same code)."""
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from physicsvae_tpu.train.ppo import PPOConfig, PPOTrainer, compute_gae
+
+
+def test_gae_matches_reference():
+    rng = np.random.default_rng(0)
+    T, B = 12, 3
+    rewards = rng.normal(size=(T, B)).astype(np.float32)
+    values = rng.normal(size=(T, B)).astype(np.float32)
+    dones = (rng.uniform(size=(T, B)) < 0.2).astype(np.float32)
+    last_value = rng.normal(size=(B,)).astype(np.float32)
+    gamma, lam = 0.98, 0.95
+
+    adv, ret = compute_gae(jnp.asarray(rewards), jnp.asarray(values),
+                           jnp.asarray(dones), jnp.asarray(last_value),
+                           gamma, lam)
+
+    adv_ref = np.zeros((T, B))
+    gae = np.zeros(B)
+    next_value = last_value
+    for t in reversed(range(T)):
+        nonterm = 1.0 - dones[t]
+        delta = rewards[t] + gamma * next_value * nonterm - values[t]
+        gae = delta + gamma * lam * nonterm * gae
+        adv_ref[t] = gae
+        next_value = values[t]
+    assert np.allclose(np.asarray(adv), adv_ref, atol=1e-5)
+    assert np.allclose(np.asarray(ret), adv_ref + values, atol=1e-5)
+
+
+class PointMassEnv:
+    """Minimal env with the ImitationEnv API surface used by PPOTrainer.
+
+    Task: drive a 2D point to the origin.  reward = -|x|^2 shifted positive.
+    """
+
+    dim_state = 4
+    dim_action = 2
+
+    @dataclasses.dataclass
+    class State:
+        x: jnp.ndarray
+        v: jnp.ndarray
+        t: jnp.ndarray
+        rng: jnp.ndarray
+
+        def tree_flatten(self):
+            return (self.x, self.v, self.t, self.rng), None
+
+    def reset(self, rng):
+        rng, k = jax.random.split(rng)
+        x = jax.random.uniform(k, (2,), minval=-1.0, maxval=1.0)
+        return dict(x=x, v=jnp.zeros(2), t=jnp.asarray(0.0), rng=rng)
+
+    def observe(self, st):
+        return jnp.concatenate([st["x"], st["v"]])
+
+    def step_auto(self, st, action):
+        a = jnp.clip(action, -1, 1)
+        v = 0.9 * st["v"] + 0.1 * a
+        x = st["x"] + 0.1 * v
+        t = st["t"] + 1
+        rew = 1.0 - jnp.sum(x * x)
+        done = t >= 50
+        rng, k = jax.random.split(st["rng"])
+        fresh = self.reset(k)
+        st2 = dict(x=x, v=v, t=t, rng=rng)
+        st2 = jax.tree.map(lambda f, s: jnp.where(done, f, s), fresh, st2)
+        return st2, self.observe(st2), rew, done, {}
+
+
+def test_ppo_improves_on_point_mass():
+    env = PointMassEnv()
+    cfg = PPOConfig(num_envs=64, rollout_length=64, lr=3e-4,
+                    sgd_minibatch_size=512, num_sgd_iter=5,
+                    sample_std=0.3)
+    tr = PPOTrainer(env, cfg, jax.random.PRNGKey(0))
+    hist = tr.train(12, log_fn=None)
+    first = np.mean([h["episode_reward_mean"] for h in hist[:2]])
+    last = np.mean([h["episode_reward_mean"] for h in hist[-2:]])
+    assert last > first + 0.05, (first, last)
+    assert hist[-1]["timesteps_total"] == 12 * 64 * 64
