@@ -1,0 +1,2 @@
+from . import mesh  # noqa: F401
+from .mesh import make_mesh, replicate, shard_batch  # noqa: F401
