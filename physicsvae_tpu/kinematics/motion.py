@@ -200,14 +200,38 @@ class MotionDB:
     def length_of(self, idx):
         return (self.num_frames[idx] - 1) / self.fps
 
+    def _frame_weights(self, idx, t):
+        """(i0, i1, alpha) with t clamped to the clip's true length.
+
+        Direct two-frame addressing: indexing a whole clip first
+        (root_p[idx]) would materialize (batch, T, ...) intermediates under
+        vmap — gigabytes at B=2048 — so every sample is exactly two gathers.
+        """
+        nf = self.num_frames[idx]
+        f = jnp.clip(t * self.fps, 0.0, (nf - 1).astype(jnp.float32))
+        i0 = jnp.floor(f).astype(jnp.int32)
+        i1 = jnp.minimum(i0 + 1, nf - 1)
+        return i0, i1, (f - i0)
+
     def pose_at(self, idx, t):
         """Pose of clip `idx` at time t, clamped to the clip's true length."""
-        t = jnp.clip(t, 0.0, self.length_of(idx))
-        return pose_at_time(self.clip(idx), t)
+        i0, i1, a = self._frame_weights(idx, t)
+        a = a[..., None]
+        root_p = (1 - a) * self.root_p[idx, i0] + a * self.root_p[idx, i1]
+        root_q = quat.slerp(self.root_q[idx, i0], self.root_q[idx, i1], a)
+        aj = a[..., None]
+        joint_q = quat.slerp(self.joint_q[idx, i0], self.joint_q[idx, i1], aj)
+        return root_p, root_q, joint_q
 
     def velocity_at(self, idx, t):
-        t = jnp.clip(t, 0.0, self.length_of(idx))
-        return velocity_at_time(self.clip(idx), t)
+        i0, i1, a = self._frame_weights(idx, t)
+        a = a[..., None]
+        root_v = (1 - a) * self.root_v[idx, i0] + a * self.root_v[idx, i1]
+        root_w = (1 - a) * self.root_w[idx, i0] + a * self.root_w[idx, i1]
+        aj = a[..., None]
+        joint_w = ((1 - aj) * self.joint_w[idx, i0]
+                   + aj * self.joint_w[idx, i1])
+        return root_v, root_w, joint_w
 
 
 def build_db(motions: list) -> MotionDB:

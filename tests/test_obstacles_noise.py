@@ -1,0 +1,65 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from physicsvae_tpu.physics import obstacles as obs_mod
+from physicsvae_tpu.env import noise as noise_mod
+from physicsvae_tpu.physics import model as model_mod
+
+
+def test_obstacle_throw_and_update():
+    pool = obs_mod.init_pool(4)
+    target = jnp.asarray([0.0, 1.0, 0.0])
+    v_up = jnp.asarray([0.0, 1.0, 0.0])
+    pool = obs_mod.throw(pool, jax.random.PRNGKey(0), target, v_up)
+    assert float(pool.ttl[0]) > 0
+    assert int(pool.next_slot) == 1
+    # obstacle flies toward the target
+    d0 = float(jnp.linalg.norm(pool.pos[0] - target))
+    g = jnp.asarray([0.0, -9.8, 0.0])
+    for _ in range(10):
+        pool = obs_mod.update(pool, 1.0 / 30, g)
+    d1 = float(jnp.linalg.norm(pool.pos[0] - target))
+    assert d1 < d0
+    # TTL expiry parks the slot
+    for _ in range(200):
+        pool = obs_mod.update(pool, 1.0 / 30, g)
+    assert float(pool.ttl[0]) == 0.0
+    assert float(pool.pos[0, 1]) < -100
+
+
+def test_obstacle_round_robin():
+    pool = obs_mod.init_pool(2)
+    target = jnp.zeros(3)
+    v_up = jnp.asarray([0.0, 1.0, 0.0])
+    for i in range(3):
+        pool = obs_mod.throw(pool, jax.random.PRNGKey(i), target, v_up)
+    assert int(pool.next_slot) == 1  # wrapped
+
+
+def test_noise_injection():
+    model = model_mod.load_loco_model()
+    J = model.num_joints
+    q = jnp.zeros((J, 4)).at[:, 3].set(1.0)
+    w = jnp.zeros((J, 3))
+    q2, w2 = noise_mod.add_noise_to_pose_vel(model, jax.random.PRNGKey(0),
+                                             q, w)
+    movable = np.asarray(model.movable)
+    # movable joints perturbed, fixed joints untouched
+    dq = np.abs(np.asarray(q2) - np.asarray(q)).max(axis=-1)
+    assert (dq[movable] > 0).all()
+    assert np.allclose(dq[~movable], 0)
+    # perturbations bounded (0.5 rad cap)
+    from physicsvae_tpu.maths import quaternion as quat
+    ang = np.asarray(quat.geodesic_angle(q, q2))
+    assert ang.max() <= 0.5 + 1e-4
+    dw = np.asarray(w2 - w)
+    assert np.abs(dw[movable]).max() <= 0.5 + 1e-5
+
+
+def test_truncnorm_bounds():
+    x = noise_mod.truncnorm(jax.random.PRNGKey(1), (10000,), 0.0, 0.2,
+                            -0.3, 0.3)
+    x = np.asarray(x)
+    assert x.min() >= -0.3 and x.max() <= 0.3
+    assert abs(x.mean()) < 0.02
