@@ -1,0 +1,181 @@
+"""Main CLI driver: train / load / gen_expert_demo with reference specs.
+
+Re-build of rllib_driver.py (argparse surface at rllib_driver.py:32-75):
+
+  python -m physicsvae_tpu.driver --mode train --spec data/spec/loco/
+      loco_imitation.yaml --project_dir /root/reference
+
+Modes (rllib_driver.py:221-298):
+  train            on-device PPO (replaces tune.run(PPO|DDPPO))
+  load             restore a checkpoint and roll episodes (headless; exports
+                   a BVH trajectory instead of the GL viewer)
+  gen_expert_demo  vmapped dataset factory
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import jax
+import numpy as np
+
+
+def arg_parser():
+    p = argparse.ArgumentParser()
+    p.add_argument("--mode", required=True,
+                   choices=["train", "load", "gen_expert_demo"])
+    p.add_argument("--spec", required=True, type=str)
+    p.add_argument("--project_dir", type=str, default=None)
+    p.add_argument("--checkpoint", type=str, default=None)
+    p.add_argument("--local_dir", type=str, default="./data/learning")
+    p.add_argument("--num_envs", type=int, default=1024)
+    p.add_argument("--num_iter", type=int, default=100)
+    p.add_argument("--rollout_length", type=int, default=128)
+    p.add_argument("--checkpoint_freq", type=int, default=50)
+    p.add_argument("--output", type=str, default=None)
+    p.add_argument("--num_episodes", type=int, default=3)
+    p.add_argument("--seed", type=int, default=0)
+    return p
+
+
+def build(args):
+    from .env import make_env
+    from .env.config import load_spec
+
+    spec = load_spec(args.spec)
+    env = make_env(args.spec, project_dir=args.project_dir)
+    return spec, env
+
+
+def mode_train(args):
+    from .train.ppo import PPOConfig, PPOTrainer
+    from .train.checkpoint import save_model
+
+    spec, env = build(args)
+    cfg_d = spec.get("config", {})
+    mcfg = cfg_d.get("model", {}).get("custom_model_config", {})
+    cfg = PPOConfig(
+        gamma=cfg_d.get("gamma", 0.98),
+        lam=cfg_d.get("lambda", 0.95),
+        clip_param=cfg_d.get("clip_param", 0.2),
+        vf_clip_param=cfg_d.get("vf_clip_param", 1000),
+        num_sgd_iter=cfg_d.get("num_sgd_iter", 20),
+        lr=cfg_d.get("lr", 2e-5),
+        sgd_minibatch_size=cfg_d.get("sgd_minibatch_size", 500),
+        horizon=cfg_d.get("horizon", 900),
+        num_envs=args.num_envs,
+        rollout_length=args.rollout_length,
+        sample_std=mcfg.get("sample_std", 0.1),
+        log_std_type=mcfg.get("log_std_type", "constant"),
+    )
+    tr = PPOTrainer(env, cfg, jax.random.PRNGKey(args.seed))
+    os.makedirs(args.local_dir, exist_ok=True)
+    log_path = os.path.join(args.local_dir, "progress.jsonl")
+
+    def log(m):
+        print(json.dumps(m))
+        with open(log_path, "a") as f:
+            f.write(json.dumps(m) + "\n")
+        it = m["iter"]
+        if (it + 1) % args.checkpoint_freq == 0:
+            save_model(os.path.join(args.local_dir, f"ckpt_{it+1:06d}"),
+                       tr.params)
+
+    tr.train(args.num_iter, log_fn=log)
+    save_model(os.path.join(args.local_dir, "ckpt_final"), tr.params)
+    print("saved:", os.path.join(args.local_dir, "ckpt_final"))
+
+
+def _load_policy(args, env):
+    from .models.policy import PolicyConfig, FullyConnectedPolicy
+    from .train.checkpoint import load_model
+    import jax.numpy as jnp
+
+    pcfg = PolicyConfig(dim_state=env.dim_state, dim_action=env.dim_action,
+                        sample_std=0.1)
+    policy = FullyConnectedPolicy(pcfg)
+    variables = policy.init({"params": jax.random.PRNGKey(0)},
+                            jnp.zeros((1, env.dim_state)))
+    params = variables["params"]
+    if args.checkpoint:
+        params = load_model(args.checkpoint, like_params=params)
+    return policy, {"params": params,
+                    "constants": variables.get("constants", {})}
+
+
+def mode_load(args):
+    """Headless runtime: roll episodes, print rewards, export trajectory."""
+    import jax.numpy as jnp
+    from .runtime.export import export_bvh
+    from .kinematics.bvh import load_bvh
+
+    spec, env = build(args)
+    policy, variables = _load_policy(args, env)
+
+    step = jax.jit(env.step)
+    rng = jax.random.PRNGKey(args.seed)
+
+    for ep in range(args.num_episodes):
+        rng, k = jax.random.split(rng)
+        st = env.reset(k)
+        rews, traj = [], []
+        for t in range(env.cfg.fps_con * 30):
+            obs = env.observe(st)
+            logits, _ = policy.apply(variables, obs[None])
+            action = logits[0, :env.dim_action]
+            st, obs, rew, done, info = step(st, action)
+            rews.append(float(rew))
+            traj.append((np.asarray(st.sim.root_p),
+                         np.asarray(st.sim.root_q),
+                         np.asarray(st.sim.joint_q)))
+            if bool(done):
+                break
+        print(f"episode {ep}: len={len(rews)} mean_rew={np.mean(rews):.3f}")
+        if args.output:
+            root_p = np.stack([t[0] for t in traj])
+            root_q = np.stack([t[1] for t in traj])
+            joint_q = np.stack([t[2] for t in traj])
+            hier = load_bvh(env.cfg.base_motion_file)
+            out = f"{args.output}_ep{ep}.bvh"
+            export_bvh(out, env.char_info, hier, root_p, root_q, joint_q,
+                       fps=env.cfg.fps_con)
+            print("exported:", out)
+
+
+def mode_gen_expert_demo(args):
+    from .train.demo_gen import DemoGenConfig, generate_demos
+
+    spec, env = build(args)
+    policy, variables = _load_policy(args, env)
+    cfg = DemoGenConfig()
+
+    def policy_fn(obs, rng, explore):
+        import jax.numpy as jnp
+        logits, _ = policy.apply(variables, obs)
+        mean = logits[..., :env.dim_action]
+        if explore:
+            return mean + jax.random.normal(rng, mean.shape) * cfg.exp_std
+        return mean
+
+    out = args.output or (
+        f"data_iter={cfg.iter_per_episode},winsize={cfg.window_size:.2f},"
+        f"stride={cfg.stride:.2f},state_type={cfg.state_type},"
+        f"exp_std={cfg.exp_std:.2f}.pkl")
+    data = generate_demos(env, policy_fn, jax.random.PRNGKey(args.seed),
+                          cfg, output_path=out)
+    print(f"saved {len(data['episodes'])} episodes ->", out)
+
+
+def main(argv=None):
+    args = arg_parser().parse_args(argv)
+    if args.mode == "train":
+        mode_train(args)
+    elif args.mode == "load":
+        mode_load(args)
+    else:
+        mode_gen_expert_demo(args)
+
+
+if __name__ == "__main__":
+    main()

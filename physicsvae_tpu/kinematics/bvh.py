@@ -65,7 +65,18 @@ def _euler_seq_to_quat(angles_deg: np.ndarray, order: list) -> np.ndarray:
     return q
 
 
-def load_bvh(path: str, scale: float = 1.0) -> BvhMotion:
+def load_bvh(path: str, scale: float = 1.0,
+             use_native: bool = True) -> BvhMotion:
+    """Parse a BVH file.  Uses the native C++ parser
+    (native/libpvae_host.so, see kinematics/native.py) when built; falls back
+    to the pure-Python tokenizer."""
+    if use_native:
+        try:
+            from .native import available, load_bvh_native
+            if available():
+                return load_bvh_native(path, scale=scale)
+        except Exception:
+            pass
     with open(path) as f:
         tokens = f.read().split()
 

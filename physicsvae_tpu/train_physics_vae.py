@@ -1,0 +1,130 @@
+"""cVAE trainer CLI — drop-in for the reference train_physics_vae.py.
+
+Same argparse surface (train_physics_vae.py:30-55) and schedule:
+
+  python -m physicsvae_tpu.train_physics_vae \
+      --data_train demos.pkl --max_iter_world_model 300 --max_iter 800 \
+      --latent_dim 32 --local_dir ./runs --name vae1
+
+Hyperparameter sweeps (tune.grid_search in the reference) run as sequential
+trials over the cartesian product of the repeated flags.
+"""
+from __future__ import annotations
+
+import argparse
+import itertools
+import json
+import os
+
+import jax
+import numpy as np
+
+
+def arg_parser():
+    p = argparse.ArgumentParser()
+    p.add_argument("--max_iter_world_model", type=int, default=0)
+    p.add_argument("--max_iter", type=int, default=100)
+    p.add_argument("--data_train", action="append", required=True, type=str)
+    p.add_argument("--data_test", action="append", type=str, default=None)
+    p.add_argument("--num_data", type=int, default=None)
+    p.add_argument("--output", type=str, default=None)
+    p.add_argument("--lr", type=float, default=0.0005)
+    p.add_argument("--lr_schedule", type=str, default="step")
+    p.add_argument("--batch_size", type=int, default=256)
+    p.add_argument("--checkpoint_freq", type=int, default=100)
+    p.add_argument("--checkpoint", type=str, default=None)
+    p.add_argument("--name", type=str, default="physics_vae")
+    p.add_argument("--local_dir", type=str, default="./runs")
+    p.add_argument("--world_model", type=str, default=None,
+                   help="checkpoint dir to preload the world model from")
+    p.add_argument("--latent_dim", type=int, default=32)
+    p.add_argument("--lookahead", type=int, default=1)
+    p.add_argument("--vae_kl_coeff", type=float, action="append", default=None)
+    p.add_argument("--vae_cycle_coeff", type=float, action="append",
+                   default=None)
+    p.add_argument("--latent_prior_type", type=str, action="append",
+                   default=None)
+    # model widths (tune.grid_search defaults, train_physics_vae.py:269-279)
+    p.add_argument("--MD_width", type=int, default=512)
+    p.add_argument("--MD_depth", type=int, default=3)
+    p.add_argument("--TE_width", type=int, default=256)
+    p.add_argument("--TE_depth", type=int, default=2)
+    p.add_argument("--world_model_width", type=int, default=1024)
+    p.add_argument("--world_model_depth", type=int, default=2)
+    return p
+
+
+def main(argv=None):
+    from .models.fc import default_fc_layers
+    from .models.physics_vae import PhysicsVAEConfig
+    from .train.checkpoint import load_component, save_model
+    from .train.dataset import Batches, load_physics_vae_dataset
+    from .train.vae import VAETrainConfig, VAETrainer
+
+    args = arg_parser().parse_args(argv)
+
+    kl_grid = args.vae_kl_coeff or [1.0]
+    cyc_grid = args.vae_cycle_coeff or [1e-3]
+    prior_grid = args.latent_prior_type or ["normal_zero_mean_one_std"]
+
+    X, Y, data = load_physics_vae_dataset(
+        args.data_train, num_samples=args.num_data, lookahead=args.lookahead)
+    dim_sb = data["dim_state_body"]
+    dim_a = data["dim_action"]
+    print(f"dataset: {X.shape[0]} tuples, dim_state_body={dim_sb}, "
+          f"dim_action={dim_a}")
+
+    best = None
+    for kl, cyc, prior in itertools.product(kl_grid, cyc_grid, prior_grid):
+        trial = f"{args.name}_kl={kl}_cyc={cyc}_prior={prior}"
+        trial_dir = os.path.join(args.local_dir, trial)
+        os.makedirs(trial_dir, exist_ok=True)
+
+        mcfg = PhysicsVAEConfig(
+            dim_state_body=dim_sb, dim_state_task=dim_sb, dim_action=dim_a,
+            latent_prior_type=(False if prior in ("False", "false") else prior),
+            task_encoder_output_dim=args.latent_dim,
+            task_encoder_layers=tuple(
+                default_fc_layers(args.TE_width, args.TE_depth)),
+            motor_decoder_layers=tuple(
+                default_fc_layers(args.MD_width, args.MD_depth)),
+            world_model_layers=tuple(
+                default_fc_layers(args.world_model_width,
+                                  args.world_model_depth)),
+        )
+        tcfg = VAETrainConfig(
+            lr=args.lr, lr_schedule=args.lr_schedule,
+            batch_size=args.batch_size, max_iter=args.max_iter,
+            max_iter_world_model=args.max_iter_world_model,
+            lookahead=args.lookahead, vae_kl_coeff=kl, vae_cycle_coeff=cyc)
+        tr = VAETrainer(mcfg, tcfg, jax.random.PRNGKey(0))
+        if args.world_model:
+            tr.params = load_component(args.world_model, tr.params,
+                                       "world_model")
+            print("loaded world model from", args.world_model)
+
+        batches = Batches(X, Y, tcfg.batch_size)
+        log_path = os.path.join(trial_dir, "progress.jsonl")
+        final = None
+        for it in range(args.max_iter):
+            m = tr.train_epoch(batches)
+            final = m
+            with open(log_path, "a") as f:
+                f.write(json.dumps(m) + "\n")
+            if (it + 1) % 10 == 0 or it == 0:
+                print(trial, json.dumps(m))
+            if (it + 1) % args.checkpoint_freq == 0:
+                save_model(os.path.join(trial_dir, f"ckpt_{it+1:06d}"),
+                           tr.params)
+        save_model(os.path.join(trial_dir, "ckpt_final"), tr.params)
+        if best is None or final["loss"] < best[0]:
+            best = (final["loss"], trial_dir, tr)
+
+    print("best trial:", best[1])
+    if args.output:
+        save_model(args.output, best[2].params)
+        print("Model Saved:", args.output)
+
+
+if __name__ == "__main__":
+    main()

@@ -101,3 +101,17 @@ def test_motion_db(char):
     assert np.allclose(p, p1, atol=1e-6)
     assert np.allclose(np.abs(np.sum(np.asarray(q) * np.asarray(q1), -1)), 1.0, atol=1e-5)
     assert np.allclose(db.lengths(), [m1.length, m1.length])
+
+
+def test_native_parser_matches_python():
+    from physicsvae_tpu.kinematics import native
+    if not native.available():
+        import pytest
+        pytest.skip("native library not built")
+    m1 = native.load_bvh_native(BVH_HIER)
+    m2 = load_bvh(BVH_HIER, use_native=False)
+    assert m1.skel.joint_names == m2.skel.joint_names
+    assert np.allclose(m1.skel.offsets, m2.skel.offsets, atol=1e-5)
+    assert np.allclose(m1.root_pos, m2.root_pos, atol=1e-4)
+    dot = np.abs(np.sum(m1.joint_quat * m2.joint_quat, -1))
+    assert np.allclose(dot, 1.0, atol=1e-5)
