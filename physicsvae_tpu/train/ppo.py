@@ -45,6 +45,50 @@ class PPOConfig:
     entropy_coeff: float = 0.0
 
 
+def _fcnn_policy_factory(env, cfg: "PPOConfig", rng):
+    """Default policy: FullyConnectedPolicy (custom_model `fcnn`)."""
+    pcfg = PolicyConfig(
+        dim_state=env.dim_state, dim_action=env.dim_action,
+        log_std_type=cfg.log_std_type, sample_std=cfg.sample_std)
+    policy = FullyConnectedPolicy(pcfg)
+    variables = policy.init({"params": rng},
+                            jnp.zeros((1, env.dim_state)))
+
+    def apply_fn(params, constants, obs, rng=None):
+        return policy.apply({"params": params, "constants": constants}, obs)
+
+    return apply_fn, variables["params"], variables.get("constants", {})
+
+
+def make_physics_vae_policy(vae_cfg, variables=None, rng=None):
+    """Policy factory for `custom_model: physics_vae`
+    (loco_runtime_physics_vae.yaml:30-35): the PhysicsVAE forward is the
+    action distribution; z is re-sampled per forward as in the reference
+    (_reparameterize, rllib_model_torch.py:734-740)."""
+    from ..models.physics_vae import PhysicsVAE
+
+    model = PhysicsVAE(vae_cfg)
+
+    def factory(env, cfg, rng_init):
+        if variables is None:
+            init_vars = model.init(
+                {"params": rng_init},
+                jnp.zeros((1, vae_cfg.dim_state)), rng=rng_init,
+                sample=False)
+        else:
+            init_vars = variables
+
+        def apply_fn(params, constants, obs, rng=None):
+            v = {"params": params, "constants": constants}
+            sample = rng is not None
+            logits, aux = model.apply(v, obs, rng=rng, sample=sample)
+            return logits, aux["value"]
+
+        return apply_fn, init_vars["params"], init_vars.get("constants", {})
+
+    return factory
+
+
 def compute_gae(rewards, values, dones, last_value, gamma, lam):
     """Generalized advantage estimation over a (T, B) rollout."""
 
@@ -71,20 +115,29 @@ class PPOTrainer:
     """
 
     def __init__(self, env: ImitationEnv, cfg: PPOConfig, rng,
-                 mesh_axis: Optional[str] = None):
+                 mesh_axis: Optional[str] = None,
+                 policy_factory=None, param_label_fn=None):
+        """policy_factory(env, cfg, rng) -> (apply_fn, params, constants)
+        where apply_fn(params, constants, obs, rng) -> (logits, value).
+        Defaults to FullyConnectedPolicy (spec `custom_model: fcnn`); use
+        make_physics_vae_policy for `custom_model: physics_vae` (the runtime
+        fine-tuning stage, loco_runtime_physics_vae.yaml:30-35).
+
+        param_label_fn(params) -> pytree of {"train","frozen"} labels for
+        component freezing during PPO (e.g. frozen world model)."""
         self.env = env
         self.cfg = cfg
-        pcfg = PolicyConfig(
-            dim_state=env.dim_state, dim_action=env.dim_action,
-            log_std_type=cfg.log_std_type, sample_std=cfg.sample_std)
-        self.policy = FullyConnectedPolicy(pcfg)
         rng, sub = jax.random.split(rng)
-        variables = self.policy.init({"params": sub},
-                                     jnp.zeros((1, env.dim_state)))
-        self.params = variables["params"]
-        self.constants = variables.get("constants", {})
-        self.tx = optax.adam(cfg.lr) if cfg.grad_clip is None else optax.chain(
+        factory = policy_factory or _fcnn_policy_factory
+        self._apply_fn, self.params, self.constants = factory(env, cfg, sub)
+        base = optax.adam(cfg.lr) if cfg.grad_clip is None else optax.chain(
             optax.clip_by_global_norm(cfg.grad_clip), optax.adam(cfg.lr))
+        if param_label_fn is not None:
+            self.tx = optax.multi_transform(
+                {"train": base, "frozen": optax.set_to_zero()},
+                param_label_fn)
+        else:
+            self.tx = base
         self.opt_state = self.tx.init(self.params)
         self.rng = rng
         self.mesh_axis = mesh_axis
@@ -101,9 +154,8 @@ class PPOTrainer:
         obs = jax.vmap(self.env.observe)(st)
         return st, obs
 
-    def policy_forward(self, params, obs):
-        variables = {"params": params, "constants": self.constants}
-        return self.policy.apply(variables, obs)
+    def policy_forward(self, params, obs, rng=None):
+        return self._apply_fn(params, self.constants, obs, rng)
 
     def rollout(self, params, env_state, obs, rng):
         """T steps of (policy -> env.step_auto) under lax.scan."""
@@ -111,8 +163,8 @@ class PPOTrainer:
 
         def body(carry, _):
             st, obs, rng = carry
-            rng, k_act = jax.random.split(rng)
-            logits, value = self.policy_forward(params, obs)
+            rng, k_act, k_fwd = jax.random.split(rng, 3)
+            logits, value = self.policy_forward(params, obs, k_fwd)
             action = sample_action(k_act, logits, self.env.dim_action)
             lp = log_prob(logits, self.env.dim_action, action)
             st2, obs2, rew, done, _ = jax.vmap(self.env.step_auto)(st, action)
@@ -122,7 +174,8 @@ class PPOTrainer:
 
         (st, obs, rng), traj = jax.lax.scan(
             body, (env_state, obs, rng), None, length=T)
-        _, last_value = self.policy_forward(params, obs)
+        rng, k_fwd = jax.random.split(rng)
+        _, last_value = self.policy_forward(params, obs, k_fwd)
         adv, ret = compute_gae(traj["reward"], traj["value"],
                                traj["done"].astype(jnp.float32), last_value,
                                self.cfg.gamma, self.cfg.lam)
@@ -132,9 +185,9 @@ class PPOTrainer:
 
     # -- update ---------------------------------------------------------
 
-    def _loss(self, params, batch):
+    def _loss(self, params, batch, rng):
         cfg = self.cfg
-        logits, value = self.policy_forward(params, batch["obs"])
+        logits, value = self.policy_forward(params, batch["obs"], rng)
         lp = log_prob(logits, self.env.dim_action, batch["action"])
         ratio = jnp.exp(lp - batch["logp"])
         adv = batch["advantage"]
@@ -176,11 +229,12 @@ class PPOTrainer:
             rng, k = jax.random.split(rng)
             perm = jax.random.permutation(k, N)
 
-            def minibatch(carry, idx):
+            def minibatch(carry, xs):
+                idx, k_mb = xs
                 params, opt_state = carry
                 batch = {k2: v[idx] for k2, v in flat.items()}
                 (loss, metrics), grads = jax.value_and_grad(
-                    self._loss, has_aux=True)(params, batch)
+                    self._loss, has_aux=True)(params, batch, k_mb)
                 if self.mesh_axis:
                     grads = jax.lax.pmean(grads, self.mesh_axis)
                 updates, opt_state = self.tx.update(grads, opt_state, params)
@@ -188,8 +242,10 @@ class PPOTrainer:
                 return (params, opt_state), metrics
 
             idxs = perm[:nmb * mb].reshape(nmb, mb)
+            rng, k = jax.random.split(rng)
+            mb_keys = jax.random.split(k, nmb)
             (params, opt_state), metrics = jax.lax.scan(
-                minibatch, (params, opt_state), idxs)
+                minibatch, (params, opt_state), (idxs, mb_keys))
             return (params, opt_state, rng), metrics
 
         (params, opt_state, rng), metrics = jax.lax.scan(

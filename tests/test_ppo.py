@@ -89,3 +89,39 @@ def test_ppo_improves_on_point_mass():
     last = np.mean([h["episode_reward_mean"] for h in hist[-2:]])
     assert last > first + 0.05, (first, last)
     assert hist[-1]["timesteps_total"] == 12 * 64 * 64
+
+
+def test_ppo_with_physics_vae_policy():
+    """The runtime fine-tuning stage: PhysicsVAE as the PPO policy
+    (custom_model physics_vae), with the world model frozen."""
+    from physicsvae_tpu.models.fc import default_fc_layers
+    from physicsvae_tpu.models.physics_vae import (PhysicsVAEConfig,
+                                                   component_label)
+    from physicsvae_tpu.train.ppo import make_physics_vae_policy
+
+    env = PointMassEnv()
+    vcfg = PhysicsVAEConfig(
+        dim_state_body=2, dim_state_task=2, dim_action=2,
+        task_encoder_layers=tuple(default_fc_layers(32, 1)),
+        motor_decoder_layers=tuple(default_fc_layers(32, 1)),
+        world_model_layers=tuple(default_fc_layers(32, 1)),
+        value_fn_layers=tuple(default_fc_layers(32, 1)),
+        task_encoder_output_dim=4, sample_std=0.3)
+
+    def label_fn(params):
+        return jax.tree_util.tree_map_with_path(
+            lambda p, _: "frozen" if component_label(p) == "world_model"
+            else "train", params)
+
+    cfg = PPOConfig(num_envs=16, rollout_length=16, num_sgd_iter=2,
+                    sgd_minibatch_size=64, lr=3e-4, sample_std=0.3)
+    tr = PPOTrainer(env, cfg, jax.random.PRNGKey(0),
+                    policy_factory=make_physics_vae_policy(vcfg),
+                    param_label_fn=label_fn)
+    wm_before = jax.tree.map(lambda x: np.asarray(x).copy(),
+                             tr.params["world_model"])
+    hist = tr.train(2, log_fn=None)
+    assert np.isfinite(hist[-1]["policy_loss"])
+    for a, b in zip(jax.tree.leaves(wm_before),
+                    jax.tree.leaves(tr.params["world_model"])):
+        assert np.array_equal(a, np.asarray(b))  # world model stayed frozen
