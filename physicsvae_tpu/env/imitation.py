@@ -165,17 +165,20 @@ class ImitationEnv:
             st_time = jnp.asarray(start_time, dtype=jnp.float32)
 
         sim = self._kin_state(ref_idx, st_time)
+        # Explicit (non-weak) dtypes everywhere: weak-typed scalars would
+        # change aval after one scan and silently retrigger compilation.
+        f32 = jnp.float32
         return EnvState(
             sim=sim,
-            ref_idx=ref_idx,
-            start_time=st_time,
-            elapsed=jnp.asarray(0.0),
-            eoe_intermediate=jnp.asarray(False),
-            time_after_eoe=jnp.asarray(0.0),
-            done=jnp.asarray(False),
-            rew_queue=jnp.ones(self.low_reward_len),
-            rew_sum=jnp.asarray(0.0),
-            last_reward=jnp.asarray(0.0),
+            ref_idx=jnp.asarray(ref_idx, jnp.int32),
+            start_time=jnp.asarray(st_time, f32),
+            elapsed=jnp.zeros((), f32),
+            eoe_intermediate=jnp.zeros((), bool),
+            time_after_eoe=jnp.zeros((), f32),
+            done=jnp.zeros((), bool),
+            rew_queue=jnp.ones(self.low_reward_len, f32),
+            rew_sum=jnp.zeros((), f32),
+            last_reward=jnp.zeros((), f32),
             rng=rng,
         )
 
