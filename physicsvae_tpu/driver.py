@@ -36,6 +36,9 @@ def arg_parser():
     p.add_argument("--output", type=str, default=None)
     p.add_argument("--num_episodes", type=int, default=3)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--resume", action="store_true",
+                   help="auto-resume from <local_dir>/trainer_state if "
+                        "present (tune resume=ERRORED_ONLY parity)")
     return p
 
 
@@ -71,6 +74,10 @@ def mode_train(args):
     )
     tr = PPOTrainer(env, cfg, jax.random.PRNGKey(args.seed))
     os.makedirs(args.local_dir, exist_ok=True)
+    state_dir = os.path.join(args.local_dir, "trainer_state")
+    if args.resume and os.path.isdir(state_dir):
+        tr.restore_state(state_dir)
+        print(f"resumed from {state_dir} at {tr.timesteps_total} steps")
     log_path = os.path.join(args.local_dir, "progress.jsonl")
 
     def log(m):
@@ -81,6 +88,7 @@ def mode_train(args):
         if (it + 1) % args.checkpoint_freq == 0:
             save_model(os.path.join(args.local_dir, f"ckpt_{it+1:06d}"),
                        tr.params)
+            tr.save_state(state_dir)
 
     tr.train(args.num_iter, log_fn=log)
     save_model(os.path.join(args.local_dir, "ckpt_final"), tr.params)

@@ -268,6 +268,38 @@ class PPOTrainer:
         metrics["timesteps_total"] = self.timesteps_total
         return env_state, obs, metrics
 
+    # -- checkpoint / resume (tune auto-resume parity,
+    #    rllib_driver.py:281-297 + SURVEY.md §5 checkpoint/resume) ---------
+
+    def save_state(self, dirpath):
+        import os
+        import orbax.checkpoint as ocp
+
+        os.makedirs(dirpath, exist_ok=True)
+        cp = ocp.PyTreeCheckpointer()
+        cp.save(os.path.join(dirpath, "params"), self.params, force=True)
+        cp.save(os.path.join(dirpath, "opt_state"),
+                jax.tree.map(jnp.asarray, self.opt_state), force=True)
+        meta = {"timesteps_total": jnp.asarray(self.timesteps_total),
+                "rng": self.rng}
+        cp.save(os.path.join(dirpath, "meta"), meta, force=True)
+        return dirpath
+
+    def restore_state(self, dirpath):
+        import os
+        import orbax.checkpoint as ocp
+
+        cp = ocp.PyTreeCheckpointer()
+        self.params = cp.restore(os.path.join(dirpath, "params"),
+                                 item=self.params)
+        self.opt_state = cp.restore(
+            os.path.join(dirpath, "opt_state"),
+            item=jax.tree.map(jnp.asarray, self.opt_state))
+        meta = cp.restore(os.path.join(dirpath, "meta"))
+        self.timesteps_total = int(meta["timesteps_total"])
+        self.rng = jnp.asarray(meta["rng"], dtype=jnp.uint32)
+        return self
+
     def train(self, num_iterations, log_fn=print):
         self.rng, k = jax.random.split(self.rng)
         env_state, obs = self.init_envs(k)

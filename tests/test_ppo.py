@@ -125,3 +125,18 @@ def test_ppo_with_physics_vae_policy():
     for a, b in zip(jax.tree.leaves(wm_before),
                     jax.tree.leaves(tr.params["world_model"])):
         assert np.array_equal(a, np.asarray(b))  # world model stayed frozen
+
+
+def test_trainer_state_resume(tmp_path):
+    env = PointMassEnv()
+    cfg = PPOConfig(num_envs=8, rollout_length=8, num_sgd_iter=1,
+                    sgd_minibatch_size=32, sample_std=0.3)
+    tr = PPOTrainer(env, cfg, jax.random.PRNGKey(0))
+    tr.train(2, log_fn=None)
+    d = str(tmp_path / "state")
+    tr.save_state(d)
+    tr2 = PPOTrainer(env, cfg, jax.random.PRNGKey(99))
+    tr2.restore_state(d)
+    assert tr2.timesteps_total == tr.timesteps_total
+    for a, b in zip(jax.tree.leaves(tr.params), jax.tree.leaves(tr2.params)):
+        assert np.allclose(np.asarray(a), np.asarray(b))
