@@ -63,3 +63,33 @@ def test_truncnorm_bounds():
     x = np.asarray(x)
     assert x.min() >= -0.3 and x.max() <= 0.3
     assert abs(x.mean()) < 0.02
+
+
+def test_tracking_env_api():
+    """Standalone tracking env: reset from pose, hold with SPD, queries."""
+    import jax.numpy as jnp
+    from physicsvae_tpu.env.tracking import TrackingEnv
+    from physicsvae_tpu.kinematics import motion as motion_mod
+    from physicsvae_tpu.kinematics.char_info import load_char_info
+    from physicsvae_tpu.physics import step as step_mod
+
+    env = TrackingEnv(
+        "/root/reference/data/character/info/loco_char_info.py",
+        "/root/reference/data/character/urdf/loco.urdf")
+    char = load_char_info(
+        "/root/reference/data/character/info/loco_char_info.py")
+    m = motion_mod.from_bvh_file(
+        "/root/reference/data/motion/loco/loco_hierarchy.bvh", char)
+    root_p, root_q, joint_q = motion_mod.pose_at_time(m, 0.0)
+    st = env.reset(root_p.at[1].set(0.95), root_q, joint_q)
+    assert not bool(env.check_falldown(st))
+    assert not bool(env.check_sim_divergence(st))
+    assert not bool(env.check_out_of_ground(st))
+    action = step_mod.Action(target_q=joint_q,
+                             target_w=jnp.zeros((env.model.num_joints, 3)))
+    st = env.step(st, action)
+    assert float(st.elapsed) > 0
+    st = env.throw_obstacle(st, jax.random.PRNGKey(0))
+    assert float(st.obstacles.ttl[0]) > 0
+    q, p = env.get_render_data(st)
+    assert q.shape == (25, 4) and p.shape == (25, 3)
