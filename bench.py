@@ -17,6 +17,11 @@ import time
 import jax
 import jax.numpy as jnp
 
+# Persistent compilation cache: repeat bench runs skip the multi-minute
+# XLA compiles of the 16-substep physics program.
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 BASELINE_STEPS_PER_SEC = 500.0
 
 
@@ -31,11 +36,18 @@ def main():
 
     from physicsvae_tpu.env import make_env
 
+    def log(msg):
+        print(msg, file=sys.stderr, flush=True)
+
+    t_start = time.perf_counter()
     env = make_env(args.spec, project_dir=args.project_dir)
+    log(f"[bench] env built ({time.perf_counter()-t_start:.0f}s)")
 
     B = args.batch
     rngs = jax.random.split(jax.random.PRNGKey(0), B)
     st = jax.jit(jax.vmap(env.reset))(rngs)
+    jax.block_until_ready(st)
+    log(f"[bench] reset done ({time.perf_counter()-t_start:.0f}s)")
 
     @jax.jit
     def run(st, actions):
@@ -51,11 +63,13 @@ def main():
     # compile + warmup
     st, rews = run(st, actions)
     jax.block_until_ready(rews)
+    log(f"[bench] compiled+warm ({time.perf_counter()-t_start:.0f}s)")
 
     t0 = time.perf_counter()
     st, rews = run(st, actions)
     jax.block_until_ready(rews)
     dt = time.perf_counter() - t0
+    log(f"[bench] timed run {dt:.2f}s")
 
     steps_per_sec = B * args.steps / dt
     out = {
