@@ -95,15 +95,16 @@ def _inv3(m):
 
 
 def solve_contacts(model: PhysicsModel, Minv, J, v_pred, contacts: Contacts,
-                   dt):
+                   dt, normals=None):
     """Cone-constrained contact impulse solve (APGD).
 
     Minv: explicit inverse of the damped mass matrix, (...,NV,NV).
     J: (...,K,3,NV).  v_pred: (...,NV) post-force velocity.
+    normals: (...,K,3) per-contact normals; None -> all env-up (ground).
     Returns (delta_v (...,NV), impulses (...,K,3)).
     """
     p = model.params
-    K = p.num_contacts
+    K = J.shape[-3]
     nv = model.nv
     batch = v_pred.shape[:-1]
 
@@ -113,27 +114,34 @@ def solve_contacts(model: PhysicsModel, Minv, J, v_pred, contacts: Contacts,
     A = A.reshape(batch + (K, 3, K, 3))
 
     up = jnp.asarray(model.v_up_env, dtype=v_pred.dtype)
+    if normals is None:
+        n = jnp.broadcast_to(up, batch + (K, 3))
+    else:
+        n = normals
     vc = jnp.einsum("...kin,...n->...ki", J, v_pred)          # (...,K,3)
 
     # Desired normal velocity: Baumgarte push-out, no restitution.
     bias = -p.baumgarte / dt * jnp.maximum(contacts.depth - p.contact_slop, 0.0)
-    b = vc + bias[..., None] * up                              # (...,K,3)
+    b = vc + bias[..., None] * n                               # (...,K,3)
 
     act = contacts.active.astype(v_pred.dtype)
 
-    # Tangent basis in the ground plane (up = y for loco).
-    t1 = jnp.asarray([1.0, 0.0, 0.0], dtype=v_pred.dtype)
-    t2 = jnp.cross(up, t1)
-    t1 = jnp.cross(t2, up)
+    # Per-contact tangent basis orthogonal to the normal.
+    ref = jnp.where(jnp.abs(n[..., 0:1]) < 0.9,
+                    jnp.asarray([1.0, 0.0, 0.0], v_pred.dtype),
+                    jnp.asarray([0.0, 1.0, 0.0], v_pred.dtype))
+    t2 = jnp.cross(n, ref)
+    t2 = t2 / jnp.maximum(jnp.linalg.norm(t2, axis=-1, keepdims=True), 1e-8)
+    t1 = jnp.cross(t2, n)
 
     def project(li):
-        ln = jnp.einsum("...ki,i->...k", li, up)
+        ln = jnp.einsum("...ki,...ki->...k", li, n)
         ln = jnp.maximum(ln, 0.0)
-        lt1 = jnp.einsum("...ki,i->...k", li, t1)
-        lt2 = jnp.einsum("...ki,i->...k", li, t2)
+        lt1 = jnp.einsum("...ki,...ki->...k", li, t1)
+        lt2 = jnp.einsum("...ki,...ki->...k", li, t2)
         lt = jnp.sqrt(lt1 ** 2 + lt2 ** 2 + 1e-12)
         scale = jnp.minimum(1.0, p.mu * ln / jnp.maximum(lt, 1e-9))
-        li = (ln[..., None] * up
+        li = (ln[..., None] * n
               + (scale * lt1)[..., None] * t1
               + (scale * lt2)[..., None] * t2)
         return li * act[..., None]

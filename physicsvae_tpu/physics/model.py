@@ -41,6 +41,8 @@ class SimParams:
     gravity: float = -9.8
     joint_damping: float = 0.02  # URDF <dynamics damping>
     spd: bool = True
+    self_collision: bool = True  # physics_param self_collision (spec)
+    num_self_contacts: int = 8   # top-K2 self-contact buffer
 
     @property
     def dt_sim(self) -> float:
@@ -98,6 +100,12 @@ class PhysicsModel:
     point_pos: np.ndarray        # (NP,3) local (link frame)
     point_radius: np.ndarray     # (NP,)
     point_allow: np.ndarray      # (NP,) bool: ground contact allowed
+
+    # Self-collision capsule approximations + candidate pair list
+    cap_a: np.ndarray            # (NB,3) capsule endpoint (link frame)
+    cap_b: np.ndarray            # (NB,3)
+    cap_r: np.ndarray            # (NB,)
+    self_pairs: np.ndarray       # (P2,2) body index pairs
 
     # Per-link metadata mirrored from char info
     link_contact_allow: np.ndarray  # (NB,) bool
@@ -232,6 +240,11 @@ def build_model(cm: CharacterModel, ci: CharInfo,
         damping[s:s + 3] = params.joint_damping
 
     point_body, point_pos, point_radius = _contact_points(cm)
+
+    from .self_collision import build_capsules, build_pair_list_raw
+    cap_a, cap_b, cap_r = build_capsules(cm)
+    self_pairs = build_pair_list_raw(
+        body_parent, ci.collision_ignore_pairs)
     link_contact_allow = np.concatenate(
         [[ci.root_contact_allow], ci.contact_allow])
     point_allow = link_contact_allow[point_body]
@@ -266,6 +279,10 @@ def build_model(cm: CharacterModel, ci: CharInfo,
         point_pos=point_pos,
         point_radius=point_radius,
         point_allow=point_allow,
+        cap_a=cap_a,
+        cap_b=cap_b,
+        cap_r=cap_r,
+        self_pairs=self_pairs,
         link_contact_allow=link_contact_allow,
         joint_weight=joint_weight,
         end_effectors=np.asarray(ci.end_effectors, dtype=np.int32) + 1,

@@ -1,0 +1,159 @@
+"""Self-collision: capped pair list + capsule-capsule narrow phase.
+
+Re-build of Bullet's URDF_USE_SELF_COLLISION path (sim_agent.py:67-86): the
+character collides with itself, except parent-child links (Bullet default)
+and the char-info collision-ignore pairs.  TPU design (SURVEY.md §7 hard part
+3): every link is approximated by one capsule (its dominant collision geom),
+the static pair list is precomputed on the host, and each substep evaluates
+all pair distances in parallel and feeds the deepest K2 into the same APGD
+impulse solve as ground contacts, with per-contact normals.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..maths import quaternion as quat
+from .model import PhysicsModel
+from ..kinematics.urdf import GEOM_BOX, GEOM_CAPSULE, GEOM_SPHERE
+
+
+def build_capsules(cm):
+    """Per-body capsule approximation (a, b endpoints in link frame, radius)
+    from each link's largest collision geom.  Boxes become capsules along
+    their longest axis with the mean of the other half-extents as radius."""
+    NB = cm.num_joints + 1
+    a = np.zeros((NB, 3))
+    b = np.zeros((NB, 3))
+    r = np.zeros(NB)
+
+    best_vol = np.full(NB, -1.0)
+    for g in range(cm.geom_link.shape[0]):
+        body = int(cm.geom_link[g]) + 1
+        t = int(cm.geom_type[g])
+        size = cm.geom_size[g]
+        pos = cm.geom_pos[g]
+        import jax.numpy as _j
+        R = np.asarray(quat.to_matrix(_j.asarray(cm.geom_quat[g])))
+        if t == GEOM_SPHERE:
+            vol = size[0] ** 3
+            ca, cb, cr = pos, pos, size[0]
+        elif t == GEOM_CAPSULE:
+            vol = size[0] ** 2 * (size[0] + size[1])
+            axis = R @ np.array([0.0, 0.0, 1.0])
+            ca, cb, cr = pos - size[1] * axis, pos + size[1] * axis, size[0]
+        elif t == GEOM_BOX:
+            vol = size[0] * size[1] * size[2]
+            k = int(np.argmax(size))
+            axis = R @ np.eye(3)[k]
+            others = [size[i] for i in range(3) if i != k]
+            cr = float(np.mean(others))
+            hl = max(size[k] - cr, 0.0)
+            ca, cb = pos - hl * axis, pos + hl * axis
+        else:
+            continue
+        if vol > best_vol[body]:
+            best_vol[body] = vol
+            a[body], b[body], r[body] = ca, cb, cr
+    return a, b, r
+
+
+def build_pair_list_raw(body_parent, ignore_pairs):
+    """Candidate link pairs: all (i<j) body pairs except parent-child
+    (Bullet filters them without URDF_USE_SELF_COLLISION_INCLUDE_PARENT) and
+    char-info ignore pairs (link indices, loco_char_info.py:378-394)."""
+    NB = len(body_parent)
+    ignore = {tuple(sorted((int(i) + 1, int(j) + 1)))
+              for i, j in np.asarray(ignore_pairs).reshape(-1, 2)}
+    pairs = []
+    for i in range(NB):
+        for j in range(i + 1, NB):
+            if body_parent[j] == i or body_parent[i] == j:
+                continue
+            if tuple(sorted((i, j))) in ignore:
+                continue
+            pairs.append((i, j))
+    return np.asarray(pairs, dtype=np.int32)
+
+
+def segment_closest_points(p1, q1, p2, q2):
+    """Closest points between segments [p1,q1] and [p2,q2] (batched,
+    branchless clamped version of Ericson's algorithm)."""
+    d1 = q1 - p1
+    d2 = q2 - p2
+    rvec = p1 - p2
+    a = jnp.sum(d1 * d1, axis=-1)
+    e = jnp.sum(d2 * d2, axis=-1)
+    f = jnp.sum(d2 * rvec, axis=-1)
+    c = jnp.sum(d1 * rvec, axis=-1)
+    bq = jnp.sum(d1 * d2, axis=-1)
+    denom = a * e - bq * bq
+    s = jnp.where(denom > 1e-12, (bq * f - c * e) / jnp.maximum(denom, 1e-12),
+                  0.0)
+    s = jnp.clip(s, 0.0, 1.0)
+    t = jnp.where(e > 1e-12, (bq * s + f) / jnp.maximum(e, 1e-12), 0.0)
+    t_cl = jnp.clip(t, 0.0, 1.0)
+    # recompute s for clamped t
+    s = jnp.where(e > 1e-12,
+                  jnp.clip((bq * t_cl - c) / jnp.maximum(a, 1e-12), 0.0, 1.0),
+                  s)
+    x1 = p1 + s[..., None] * d1
+    x2 = p2 + t_cl[..., None] * d2
+    return x1, x2
+
+
+def detect_self_contacts(model: PhysicsModel, k_fk):
+    """Deepest K2 self-collision candidates.
+
+    Returns (pos, normal, depth, body_i, body_j); depth > 0 = overlapping;
+    normal pushes body_i away from body_j."""
+    pairs = jnp.asarray(model.self_pairs)
+    cap_a = jnp.asarray(model.cap_a)
+    cap_b = jnp.asarray(model.cap_b)
+    cap_r = jnp.asarray(model.cap_r)
+    bi = pairs[:, 0]
+    bj = pairs[:, 1]
+
+    def world(cap_pt, bodies):
+        q = k_fk.body_q[..., bodies, :]
+        p = k_fk.body_p[..., bodies, :]
+        return p + quat.rotate(q, cap_pt[bodies])
+
+    a1 = world(cap_a, bi)
+    b1 = world(cap_b, bi)
+    a2 = world(cap_a, bj)
+    b2 = world(cap_b, bj)
+
+    x1, x2 = segment_closest_points(a1, b1, a2, b2)
+    d = x1 - x2
+    dist = jnp.linalg.norm(d, axis=-1)
+    depth = cap_r[bi] + cap_r[bj] - dist
+    normal = d / jnp.maximum(dist[..., None], 1e-8)
+    pos = 0.5 * (x1 + x2)
+
+    K2 = model.params.num_self_contacts
+    dd, idx = jax.lax.top_k(depth, K2)
+
+    def take_vec(arr):
+        return jnp.take_along_axis(arr, idx[..., None], axis=-2)
+
+    return (take_vec(pos), take_vec(normal), dd, bi[idx], bj[idx])
+
+
+def pair_jacobian(model: PhysicsModel, k_fk, pos, body_i, body_j):
+    """Relative point Jacobian J_i - J_j at the contact points:
+    (...,K2,3,NV)."""
+    axis = k_fk.dof_axis
+    anchor = k_fk.dof_pos
+    is_ang = jnp.asarray(model.dof_is_ang)
+    anc = jnp.asarray(model.anc)
+
+    x = pos[..., :, None, :]
+    r = x - anchor[..., None, :, :]
+    Jang = jnp.cross(axis[..., None, :, :], r)
+    Jlin = jnp.broadcast_to(axis[..., None, :, :], Jang.shape)
+    Jcols = jnp.where(is_ang[:, None], Jang, Jlin)       # (...,K2,NV,3)
+    mask = anc[body_i].astype(Jcols.dtype) - anc[body_j].astype(Jcols.dtype)
+    Jcols = Jcols * mask[..., None]
+    return jnp.swapaxes(Jcols, -1, -2)

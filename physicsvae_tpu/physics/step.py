@@ -120,7 +120,25 @@ def substep(model: PhysicsModel, state: SimState, action: Action,
     depth = contacts_mod.detect_ground(model, x, ground_height)
     cons = contacts_mod.select_contacts(model, x, depth)
     J = contacts_mod.contact_jacobian(model, k, cons)
-    dv, _ = contacts_mod.solve_contacts(model, Minv, J, v_pred, cons, dt)
+    normals = jnp.broadcast_to(jnp.asarray(model.v_up_env, J.dtype),
+                               cons.depth.shape + (3,))
+    if p.self_collision and model.self_pairs.shape[0] > 0:
+        # capsule-capsule self contacts join the same impulse solve
+        from .self_collision import detect_self_contacts, pair_jacobian
+        sp, sn, sd, bi, bj = detect_self_contacts(model, k)
+        Js = pair_jacobian(model, k, sp, bi, bj)
+        J = jnp.concatenate([J, Js], axis=-3)
+        normals = jnp.concatenate([normals, sn], axis=-2)
+        cons = contacts_mod.Contacts(
+            pos=jnp.concatenate([cons.pos, sp], axis=-2),
+            depth=jnp.concatenate([cons.depth, sd], axis=-1),
+            active=jnp.concatenate([cons.active, sd > 0.0], axis=-1),
+            body=jnp.concatenate([cons.body, bi], axis=-1),
+            point_idx=jnp.concatenate(
+                [cons.point_idx, -jnp.ones_like(bi)], axis=-1),
+        )
+    dv, _ = contacts_mod.solve_contacts(model, Minv, J, v_pred, cons, dt,
+                                        normals)
     vel = v_pred + dv
 
     # Semi-implicit Euler integration
