@@ -101,3 +101,26 @@ def test_normc_init_scale():
     w = init(jax.random.PRNGKey(0), (64, 32))
     norms = np.linalg.norm(np.asarray(w), axis=0)
     assert np.allclose(norms, 1.0, atol=1e-5)
+
+
+def test_lstm_policy():
+    from physicsvae_tpu.models.lstm import (LSTMPolicy, LSTMPolicyConfig,
+                                            init_lstm_policy, unroll)
+    cfg = LSTMPolicyConfig(dim_state=10, dim_action=4, hidden_size=16,
+                           num_layers=2)
+    model, variables = init_lstm_policy(cfg, jax.random.PRNGKey(0))
+    B = 3
+    carry = model.initial_state((B,))
+    obs = jnp.ones((B, 10))
+    logits, value, carry2 = model.apply(variables, obs, carry)
+    assert logits.shape == (B, 8)
+    assert value.shape == (B,)
+    assert len(carry2) == 2
+    # memory: different history -> different output for same obs
+    obs_seq = jnp.asarray(
+        np.random.default_rng(0).normal(size=(5, B, 10)), jnp.float32)
+    l1, v1, c1 = unroll(model, variables, obs_seq, carry)
+    l2, _, _ = model.apply(variables, obs, c1)
+    assert not np.allclose(np.asarray(l2[..., :4]),
+                           np.asarray(logits[..., :4]))
+    assert l1.shape == (5, B, 8)
