@@ -87,12 +87,14 @@ def mass_matrix(model: PhysicsModel, S, I_sp):
     M[d,e] = S_e · (I^C_{body(d)} S_d) for e an ancestor-or-self dof of d.
     """
     NB = model.num_bodies
-    # Composite inertias: backward accumulation over the static topology.
-    Ic = [I_sp[..., k, :, :] for k in range(NB)]
-    for kk in range(NB - 1, 0, -1):
-        par = int(model.body_parent[kk])
-        Ic[par] = Ic[par] + Ic[kk]
-    Ic = jnp.stack(Ic, axis=-3)                       # (...,NB,6,6)
+    # Composite inertias: leaf-to-root accumulation, one scatter-add per
+    # tree level (duplicate parent indices within a level accumulate
+    # correctly through at[].add).
+    Ic = I_sp
+    for level in reversed(model.levels):
+        bodies = jnp.asarray(level) + 1
+        par = jnp.asarray(model.body_parent[level + 1])
+        Ic = Ic.at[..., par, :, :].add(Ic[..., bodies, :, :])
 
     Ic_d = Ic[..., jnp.asarray(model.dof_body), :, :]  # (...,NV,6,6)
     F = jnp.einsum("...dij,...dj->...di", Ic_d, S)     # (...,NV,6)
@@ -121,18 +123,23 @@ def bias_force(model: PhysicsModel, k: FKResult, S, I_sp, V, vel):
     lin0 = jnp.broadcast_to(-g, batch + (3,)) + jnp.cross(pdot, omega)
     A0 = jnp.concatenate([jnp.zeros(batch + (3,)), lin0], axis=-1)
 
-    A = [A0]
-    for b in range(1, NB):
-        par = int(model.body_parent[b])
-        j = b - 1
-        s = int(model.joint_dof_start[j])
-        Ab = A[par]
-        if s >= 0:
-            vJ = jnp.einsum("...di,...d->...i",
-                            S[..., s:s + 3, :], vel[..., s:s + 3])
-            Ab = Ab + _crm(V[..., b, :], vJ)
-        A.append(Ab)
-    A = jnp.stack(A, axis=-2)                          # (...,NB,6)
+    # Joint-velocity spatial contributions vJ per body (movable joints'
+    # dofs are contiguous after the 6 root dofs, in joint order).
+    import numpy as np
+    mov_bodies = jnp.asarray(np.where(model.movable)[0] + 1)
+    S_mov = S[..., 6:, :].reshape(S.shape[:-2] + (-1, 3, 6))
+    v_mov = vel[..., 6:].reshape(vel.shape[:-1] + (-1, 3))
+    vJ_mov = jnp.einsum("...jdi,...jd->...ji", S_mov, v_mov)
+    vJ = jnp.zeros(batch + (NB, 6), dtype=S.dtype)
+    vJ = vJ.at[..., mov_bodies, :].set(vJ_mov)
+
+    # Root-to-leaf acceleration propagation, one level at a time.
+    A = jnp.zeros(batch + (NB, 6), dtype=S.dtype).at[..., 0, :].set(A0)
+    for level in model.levels:
+        bodies = jnp.asarray(level) + 1
+        par = jnp.asarray(model.body_parent[level + 1])
+        Ab = A[..., par, :] + _crm(V[..., bodies, :], vJ[..., bodies, :])
+        A = A.at[..., bodies, :].set(Ab)
 
     IV = jnp.einsum("...kij,...kj->...ki", I_sp, V)
     f = jnp.einsum("...kij,...kj->...ki", I_sp, A) + _crf(V, IV)

@@ -51,30 +51,32 @@ def fk(model: PhysicsModel, state: SimState) -> FKResult:
     jquat = jnp.asarray(model.joint_quat)
     com_l = jnp.asarray(model.com)
 
-    body_q = [state.root_q]
-    body_p = [state.root_p]
-    body_w = [state.root_w]
-    body_vo = [state.root_v]
+    # Level-parallel tree sweep: all joints at the same depth share no
+    # parent-child dependency, so each level is ONE batched block of
+    # quaternion ops (7 levels for the loco character instead of 24
+    # sequential per-joint dispatches).
+    NB = J + 1
+    body_q = jnp.zeros(batch + (NB, 4)).at[..., 0, :].set(state.root_q)
+    body_p = jnp.zeros(batch + (NB, 3)).at[..., 0, :].set(state.root_p)
+    body_w = jnp.zeros(batch + (NB, 3)).at[..., 0, :].set(state.root_w)
+    body_vo = jnp.zeros(batch + (NB, 3)).at[..., 0, :].set(state.root_v)
 
-    for j in range(J):
-        par = int(model.body_parent[j + 1])
-        q_p, p_p = body_q[par], body_p[par]
-        w_p, vo_p = body_w[par], body_vo[par]
-        # joint frame in world
-        q_frame = quat.mul(q_p, jnp.broadcast_to(jquat[j], q_p.shape))
-        p_j = p_p + quat.rotate(q_p, jnp.broadcast_to(jpos[j], p_p.shape))
+    for level in model.levels:
+        j = jnp.asarray(level)
+        par = jnp.asarray(model.body_parent[level + 1])
+        q_p = body_q[..., par, :]
+        p_p = body_p[..., par, :]
+        w_p = body_w[..., par, :]
+        vo_p = body_vo[..., par, :]
+        q_frame = quat.mul(q_p, jquat[j])
+        p_j = p_p + quat.rotate(q_p, jpos[j])
         q_j = quat.mul(q_frame, state.joint_q[..., j, :])
         w_j = w_p + quat.rotate(q_j, om[..., j, :])
         vo_j = vo_p + jnp.cross(w_p, p_j - p_p)
-        body_q.append(q_j)
-        body_p.append(p_j)
-        body_w.append(w_j)
-        body_vo.append(vo_j)
-
-    body_q = jnp.stack(body_q, axis=-2)
-    body_p = jnp.stack(body_p, axis=-2)
-    body_w = jnp.stack(body_w, axis=-2)
-    body_vo = jnp.stack(body_vo, axis=-2)
+        body_q = body_q.at[..., j + 1, :].set(q_j)
+        body_p = body_p.at[..., j + 1, :].set(p_j)
+        body_w = body_w.at[..., j + 1, :].set(w_j)
+        body_vo = body_vo.at[..., j + 1, :].set(vo_j)
 
     r_com = quat.rotate(body_q, jnp.broadcast_to(com_l, batch + (J + 1, 3)))
     body_com = body_p + r_com

@@ -107,6 +107,12 @@ class PhysicsModel:
     cap_r: np.ndarray            # (NB,)
     self_pairs: np.ndarray       # (P2,2) body index pairs
 
+    # Joints grouped by tree depth (tuple of int arrays): joints within a
+    # level have independent parents, so FK/RNEA recursions process a whole
+    # level in one batched op instead of one op per joint (8 levels vs 24
+    # sequential joints for the loco character).
+    levels: tuple
+
     # Per-link metadata mirrored from char info
     link_contact_allow: np.ndarray  # (NB,) bool
     joint_weight: np.ndarray        # (NB,) normalized weights (0 = base)
@@ -239,6 +245,15 @@ def build_model(cm: CharacterModel, ci: CharInfo,
         max_force[s:s + 3] = ci.max_force[j]
         damping[s:s + 3] = params.joint_damping
 
+    # Depth levels over joints (body depth = joint depth + 1; base = 0)
+    depth = np.zeros(NB, dtype=np.int32)
+    for b in range(1, NB):
+        depth[b] = depth[body_parent[b]] + 1
+    levels = tuple(
+        np.asarray([j for j in range(J) if depth[j + 1] == d],
+                   dtype=np.int32)
+        for d in range(1, depth.max() + 1))
+
     point_body, point_pos, point_radius = _contact_points(cm)
 
     from .self_collision import build_capsules, build_pair_list_raw
@@ -283,6 +298,7 @@ def build_model(cm: CharacterModel, ci: CharInfo,
         cap_b=cap_b,
         cap_r=cap_r,
         self_pairs=self_pairs,
+        levels=levels,
         link_contact_allow=link_contact_allow,
         joint_weight=joint_weight,
         end_effectors=np.asarray(ci.end_effectors, dtype=np.int32) + 1,
