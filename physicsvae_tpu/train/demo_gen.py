@@ -80,7 +80,7 @@ def generate_demos(env: ImitationEnv, policy_fn, rng,
 
     rng, k = jax.random.split(rng)
     traj = rollout(k)
-    traj = jax.tree.map(np.asarray, traj)
+    traj = jax.tree.map(lambda x: np.array(x), traj)  # writable copies
 
     # Retry falldown windows with fresh seeds (host-side control; each retry
     # re-rolls everything but only failed lanes are swapped in).
@@ -104,7 +104,7 @@ def generate_demos(env: ImitationEnv, policy_fn, rng,
     retries = 0
     while fell.any() and retries < cfg.max_retries:
         rng, k = jax.random.split(rng)
-        traj2 = jax.tree.map(np.asarray, rollout(k))
+        traj2 = jax.tree.map(np.asarray, rollout(k))  # read-only ok (source)
         for b in np.where(fell)[0]:
             v2, f2 = lane_valid_len(traj2, b, int(clip_arr[b]))
             if not f2 or v2 > valid[b]:
