@@ -270,6 +270,12 @@ class ImitationEnv:
 
         Pipeline parity: envs/env_humanoid_base.py:534-675.
         """
+        st2, reward, done, info = self.step_core(st, action)
+        return st2, self.observe(st2), reward, done, info
+
+    def step_core(self, st: EnvState, action):
+        """step without the observation build (autoreset composes it with a
+        single observe over the merged state instead of two)."""
         cfg = self.cfg
         act = self.action_to_targets(st, action)
         sim = step_mod.control_step(self.model, st.sim, act)
@@ -342,14 +348,13 @@ class ImitationEnv:
             rew_queue=rew_queue, rew_sum=rew_sum, last_reward=reward,
             rng=st1.rng)
 
-        obs = self.observe(st2)
         info = {"rew_info": rew_info, "eoe": eoe_flags, "error": error}
-        return st2, obs, reward, done, info
+        return st2, reward, done, info
 
     def step_auto(self, st: EnvState, action):
         """step + autoreset: episodes that finished are replaced by fresh RSI
         resets (vmapped equivalent of rllib worker episode handling)."""
-        st2, obs, reward, done, info = self.step(st, action)
+        st2, reward, done, info = self.step_core(st, action)
         rng, sub = jax.random.split(st2.rng)
         st2 = dataclasses.replace(st2, rng=rng)
         fresh = self.reset(sub)

@@ -173,7 +173,7 @@ def solve_contacts(model: PhysicsModel, Minv, J, v_pred, contacts: Contacts,
     lam0 = jnp.zeros(batch + (K, 3), dtype=v_pred.dtype)
     (lam, _, _), _ = jax.lax.scan(
         apgd_iter, (lam0, lam0, jnp.asarray(1.0, v_pred.dtype)), None,
-        length=4 * p.solver_iters)
+        length=p.apgd_iters)
 
     # delta_v = M^-1 J^T lam = W lam
     delta_v = jnp.einsum("...nk,...k->...n", W,

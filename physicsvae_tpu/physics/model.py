@@ -43,6 +43,8 @@ class SimParams:
     spd: bool = True
     self_collision: bool = True  # physics_param self_collision (spec)
     num_self_contacts: int = 8   # top-K2 self-contact buffer
+    apgd_iters: int = 24         # APGD iterations (≈2.4x Bullet's 10 GS)
+    ns_iters: int = 1            # Newton–Schulz refinements per warm substep
 
     @property
     def dt_sim(self) -> float:

@@ -109,7 +109,7 @@ def substep(model: PhysicsModel, state: SimState, action: Action,
     if Minv is None:
         Minv = spd_inverse(M_hat)
     else:
-        Minv = ns_refine(M_hat, Minv, iters=2)
+        Minv = ns_refine(M_hat, Minv, iters=p.ns_iters)
 
     tau = spd_torque(model, state, action, dt)
     qdd = jnp.einsum("...ij,...j->...i", Minv, tau - c)
