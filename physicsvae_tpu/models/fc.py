@@ -106,6 +106,11 @@ class FC(nn.Module):
                     x = act(x)
             elif lt in ("sm", "softmax"):
                 x = nn.softmax(x, axis=-1)
+            elif lt in ("hm", "hardmax"):
+                # one-hot argmax (rllib_model_torch.py:208-218); straight
+                # lookup, non-differentiable like the reference
+                x = jax.nn.one_hot(jnp.argmax(x, axis=-1), x.shape[-1],
+                                   dtype=x.dtype)
             elif lt in ("bn", "batch_norm"):
                 # Inference-mode batch norm (running stats not tracked in the
                 # reference's usage either once eval()'d).
