@@ -67,6 +67,7 @@ class EnvConfig:
     ground_enable: bool
     start_time_sampler: str
     repeat_ref_motion: bool
+    contactable_body: list  # overrides char-info contact_allow_map
 
     raw: dict
 
@@ -145,6 +146,8 @@ def parse_env_config(cfg: dict, project_dir: Optional[str] = None) -> EnvConfig:
         et_falldown_height_min=float(falldown.get("height_min", 0.3)),
         falldown_method=falldown.get("method", "height"),
         ground_enable=bool(ground.get("enable", True)),
+        contactable_body=list(
+            first(char.get("contactable_body"), None) or []),
         start_time_sampler=cfg.get("start_time_sampler", "uniform"),
         repeat_ref_motion=bool(cfg.get("repeat_ref_motion", False)),
         raw=cfg,

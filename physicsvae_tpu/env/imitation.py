@@ -66,6 +66,8 @@ class ImitationEnv:
         params = model_mod.SimParams(fps_sim=cfg.fps_sim, fps_con=cfg.fps_con)
         cm = load_urdf(cfg.sim_char_file)
         ci = load_char_info(cfg.char_info_file)
+        from ..kinematics.char_info import apply_contactable_body
+        ci = apply_contactable_body(ci, cfg.contactable_body)
         self.char_info = ci
         self.model = model_mod.build_model(cm, ci, params)
 
@@ -149,9 +151,14 @@ class ImitationEnv:
     # reset
     # ------------------------------------------------------------------
 
-    def reset(self, rng, ref_motion_id=None, start_time=None) -> EnvState:
-        """RSI reset (envs/env_humanoid_imitation.py:84-104, 129-144)."""
-        rng, k1, k2 = jax.random.split(rng, 3)
+    def reset(self, rng, ref_motion_id=None, start_time=None,
+              add_noise=None) -> EnvState:
+        """RSI reset (envs/env_humanoid_imitation.py:84-104, 129-144).
+
+        add_noise: perturb the initial pose/velocities (reference
+        add_noise_to_pose_vel path); defaults to the spec's `add_noise`.
+        """
+        rng, k1, k2, k3 = jax.random.split(rng, 4)
         if ref_motion_id is None:
             ref_idx = jax.random.randint(k1, (), 0, self.db.num_clips)
         else:
@@ -165,6 +172,16 @@ class ImitationEnv:
             st_time = jnp.asarray(start_time, dtype=jnp.float32)
 
         sim = self._kin_state(ref_idx, st_time)
+        if add_noise is None:
+            add_noise = self.cfg.add_noise
+        if add_noise:
+            from . import noise as noise_mod
+            from ..physics.state import joint_omega, set_joint_omega
+            jq, jw = noise_mod.add_noise_to_pose_vel(
+                self.model, k3, sim.joint_q, joint_omega(self.model, sim))
+            sim = state_mod.SimState(
+                sim.root_p, sim.root_q, jq,
+                set_joint_omega(self.model, sim.vel, jw))
         # Explicit (non-weak) dtypes everywhere: weak-typed scalars would
         # change aval after one scan and silently retrigger compilation.
         f32 = jnp.float32

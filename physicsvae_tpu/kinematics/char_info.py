@@ -46,6 +46,20 @@ class CharInfo:
         return len(self.joint_names)
 
 
+def apply_contactable_body(ci: "CharInfo", contactable_body):
+    """Override the contact-allow map from the spec's `contactable_body`
+    (envs/env_humanoid_tracking.py:108-113)."""
+    import dataclasses as _dc
+    if not contactable_body:
+        return ci
+    allow_all = "all" in contactable_body
+    allow = np.array([allow_all or n in contactable_body
+                      for n in ci.joint_names])
+    return _dc.replace(
+        ci, contact_allow=allow,
+        root_contact_allow=allow_all or ci.root_name in contactable_body)
+
+
 def load_char_info(path: str) -> CharInfo:
     spec = importlib.util.spec_from_file_location("char_info_mod", path)
     mod = importlib.util.module_from_spec(spec)
