@@ -1,1 +1,2 @@
-from . import contacts, dynamics, fk, model, state, step  # noqa: F401
+from . import (contacts, dynamics, fk, ik, linalg, model, obstacles,  # noqa: F401
+               self_collision, state, step)
