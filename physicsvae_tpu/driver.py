@@ -121,7 +121,16 @@ def mode_load(args):
     spec, env = build(args)
     policy, variables = _load_policy(args, env)
 
-    step = jax.jit(env.step)
+    @jax.jit
+    def policy_step(st):
+        """One composite (observe -> policy mean -> env.step) device call —
+        keeps the interactive loop to a single dispatch per control step."""
+        obs = env.observe(st)
+        logits, _ = policy.apply(variables, obs[None])
+        action = logits[0, :env.dim_action]
+        st, obs, rew, done, info = env.step(st, action)
+        return st, rew, done
+
     rng = jax.random.PRNGKey(args.seed)
 
     for ep in range(args.num_episodes):
@@ -129,10 +138,7 @@ def mode_load(args):
         st = env.reset(k)
         rews, traj = [], []
         for t in range(env.cfg.fps_con * 30):
-            obs = env.observe(st)
-            logits, _ = policy.apply(variables, obs[None])
-            action = logits[0, :env.dim_action]
-            st, obs, rew, done, info = step(st, action)
+            st, rew, done = policy_step(st)
             rews.append(float(rew))
             traj.append((np.asarray(st.sim.root_p),
                          np.asarray(st.sim.root_q),
