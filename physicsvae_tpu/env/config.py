@@ -8,9 +8,8 @@ from __future__ import annotations
 
 import dataclasses
 import os
-from typing import Any, Optional
+from typing import Optional
 
-import numpy as np
 import yaml
 
 

@@ -14,7 +14,6 @@ from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..kinematics import motion as motion_mod
 from ..kinematics.char_info import load_char_info

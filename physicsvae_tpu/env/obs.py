@@ -15,7 +15,7 @@ from ..maths import quaternion as quat
 from ..maths import transforms as tf
 from ..physics.fk import FKResult, com_and_vel, fk
 from ..physics.model import PhysicsModel
-from ..physics.state import SimState, joint_omega
+from ..physics.state import SimState
 
 
 @dataclasses.dataclass(frozen=True)

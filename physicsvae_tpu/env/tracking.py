@@ -18,7 +18,6 @@ import jax.numpy as jnp
 
 from ..kinematics.char_info import load_char_info
 from ..kinematics.urdf import load_urdf
-from ..maths import quaternion as quat
 from ..physics import fk as fk_mod
 from ..physics import model as model_mod
 from ..physics import obstacles as obs_mod

@@ -8,7 +8,6 @@ lax.scan, which replaces rllib's time-dimension reshaping.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax

@@ -12,7 +12,7 @@ schedule).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional, Sequence
+from typing import Any, Optional
 
 import flax.linen as nn
 import jax
@@ -53,10 +53,6 @@ class PhysicsVAEConfig:
     @property
     def dim_state(self):
         return self.dim_state_body + self.dim_state_task
-
-
-class EncoderOut(dict):
-    pass
 
 
 class PhysicsVAE(nn.Module):

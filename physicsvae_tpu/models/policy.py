@@ -3,7 +3,6 @@ rllib_model_torch.py:323-457), Flax edition."""
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional, Sequence
 
 import flax.linen as nn
 import jax

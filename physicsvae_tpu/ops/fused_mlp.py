@@ -18,7 +18,6 @@ from typing import Sequence
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 try:
     from jax.experimental import pallas as pl

@@ -14,7 +14,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..env.imitation import ImitationEnv
-from ..models.physics_vae import PhysicsVAE, PhysicsVAEConfig
+from ..models.physics_vae import PhysicsVAE
 
 
 class EnvRunner:

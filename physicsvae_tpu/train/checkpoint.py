@@ -9,17 +9,10 @@ via orbax; `load_component` grafts a saved subtree into a live param tree.
 from __future__ import annotations
 
 import os
-from typing import Optional
 
-import jax
-import numpy as np
 import orbax.checkpoint as ocp
 
 from ..models.physics_vae import COMPONENT_NAMES
-
-
-def _ckpt(path):
-    return ocp.PyTreeCheckpointer()
 
 
 def save_model(dirpath: str, params, constants=None):

@@ -16,7 +16,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..env.imitation import ImitationEnv
-from ..models.policy import log_prob, sample_action
 from .dataset import save_demo_dataset
 
 

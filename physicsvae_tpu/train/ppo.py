@@ -11,9 +11,8 @@ Hyperparameter parity with data/spec/loco/loco_imitation.yaml:9-37.
 from __future__ import annotations
 
 import dataclasses
-import functools
 import time
-from typing import Any, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

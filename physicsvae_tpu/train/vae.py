@@ -12,7 +12,6 @@ rllib_model_torch.py:930-950).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp

@@ -17,7 +17,6 @@ import json
 import os
 
 import jax
-import numpy as np
 
 
 def arg_parser():
