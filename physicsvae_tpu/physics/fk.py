@@ -124,3 +124,24 @@ def contact_point_positions(model: PhysicsModel, k: FKResult):
     x = p + r
     v = vo + jnp.cross(w, r)
     return x, v
+
+
+def interaction_mesh_samples(model: PhysicsModel, k: FKResult, samples):
+    """Interpolated joint-position samples (reference
+    sim_agent.py:529-547: char_info.interaction_mesh_samples entries
+    (j1, j2, alpha) -> lerp(p_j1, p_j2, alpha) in world space).
+
+    samples: (S,3) array-like of (joint1, joint2, alpha); joint index -1 is
+    the root.  Joint positions are the link-frame origins (joint anchors).
+    Returns (...,S,3).
+    """
+    samples = np.asarray(samples, dtype=np.float64)
+    j1_raw = samples[:, 0].astype(np.int32)
+    j1 = jnp.asarray(j1_raw + 1)
+    j2_raw = samples[:, 1].astype(np.int32)
+    # j2 None is encoded as -2 (reference uses None -> p2 = p1)
+    j2 = jnp.asarray(np.where(j2_raw == -2, j1_raw, j2_raw) + 1)
+    alpha = jnp.asarray(samples[:, 2], dtype=jnp.float32)
+    p1 = k.body_p[..., j1, :]
+    p2 = k.body_p[..., j2, :]
+    return (1.0 - alpha[:, None]) * p1 + alpha[:, None] * p2

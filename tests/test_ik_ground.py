@@ -57,3 +57,17 @@ def test_out_of_ground():
     outside = jnp.asarray([60.0, 1.0, 0.0])
     assert not bool(check_out_of_ground(inside))
     assert bool(check_out_of_ground(outside))
+
+
+def test_interaction_mesh_samples(model):
+    from physicsvae_tpu.physics.fk import interaction_mesh_samples
+    from physicsvae_tpu.physics import state as sm, fk as fkm
+    st = sm.default_state(model)
+    k = fkm.fk(model, st)
+    # sample halfway between root (-1) and joint 0; and joint 3 alone (-2)
+    samples = [(-1, 0, 0.5), (3, -2, 0.0)]
+    pts = interaction_mesh_samples(model, k, samples)
+    assert pts.shape == (2, 3)
+    expected0 = 0.5 * (np.asarray(k.body_p[0]) + np.asarray(k.body_p[1]))
+    assert np.allclose(np.asarray(pts[0]), expected0, atol=1e-6)
+    assert np.allclose(np.asarray(pts[1]), np.asarray(k.body_p[4]), atol=1e-6)
