@@ -30,14 +30,21 @@ class Contacts(NamedTuple):
     point_idx: jnp.ndarray  # (...,K) candidate index
 
 
-def detect_ground(model: PhysicsModel, x, ground_height=0.0):
-    """Penetration depth of every candidate point vs the ground plane.
+def detect_ground(model: PhysicsModel, x, ground=0.0):
+    """Penetration depth of every candidate point vs the ground.
 
-    x: (...,NP,3) world candidate positions.  Returns (...,NP) depth
-    (positive = penetrating), using the env up-axis.
+    x: (...,NP,3) world candidate positions.  `ground` is either a scalar
+    plane height or an env.ground.Heightmap (terrain height sampled under
+    each point — replaces Bullet rayTestBatch ground queries,
+    envs/env_humanoid_tracking.py:295-345).  Returns (...,NP) depth
+    (positive = penetrating) along the env up-axis.
     """
     up = jnp.asarray(model.v_up_env, dtype=x.dtype)
-    h = jnp.einsum("...i,i->...", x, up) - ground_height
+    if hasattr(ground, "height_at"):
+        gh = ground.height_at(x[..., 0], x[..., 2])
+    else:
+        gh = ground
+    h = jnp.einsum("...i,i->...", x, up) - gh
     return jnp.asarray(model.point_radius) - h
 
 

@@ -71,3 +71,36 @@ def test_interaction_mesh_samples(model):
     expected0 = 0.5 * (np.asarray(k.body_p[0]) + np.asarray(k.body_p[1]))
     assert np.allclose(np.asarray(pts[0]), expected0, atol=1e-6)
     assert np.allclose(np.asarray(pts[1]), np.asarray(k.body_p[4]), atol=1e-6)
+
+
+def test_drop_on_heightmap_terrain(model):
+    """A character dropped over raised terrain must come to rest on the
+    terrain surface, not the z=0 plane (heightmap-aware contacts)."""
+    from physicsvae_tpu.physics import step as step_mod
+    from physicsvae_tpu.kinematics import motion as motion_mod
+    from physicsvae_tpu.kinematics.char_info import load_char_info
+
+    # flat plateau at height 0.5 everywhere
+    hm = Heightmap(jnp.full((4, 4), 0.5), 100.0, 100.0)
+    char = load_char_info(
+        "/root/reference/data/character/info/loco_char_info.py")
+    m = motion_mod.from_bvh_file(
+        "/root/reference/data/motion/loco/loco_hierarchy.bvh", char)
+    root_p, root_q, joint_q = motion_mod.pose_at_time(m, 0.0)
+    st = state_mod.from_pose(model, root_p.at[1].set(1.6), root_q, joint_q)
+    action = step_mod.Action(target_q=joint_q,
+                             target_w=jnp.zeros((model.num_joints, 3)))
+
+    @jax.jit
+    def roll(st):
+        def body(s, _):
+            return step_mod.control_step(model, s, action,
+                                         ground_height=hm), None
+        return jax.lax.scan(body, st, None, length=15)[0]
+
+    end = roll(st)
+    k = fk_mod.fk(model, end)
+    lowest = float(np.asarray(k.body_com)[:, 1].min())
+    # feet rest ON the plateau (0.5), well above the z=0 plane
+    assert lowest > 0.40, lowest
+    assert np.isfinite(np.asarray(end.vel)).all()
