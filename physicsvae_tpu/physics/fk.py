@@ -42,7 +42,40 @@ class FKResult:
         return cls(*leaves)
 
 
+_PALLAS_FK_CACHE = {}
+
+
 def fk(model: PhysicsModel, state: SimState) -> FKResult:
+    """Forward kinematics.  With params.use_pallas_fk, batched calls (incl.
+    through vmap) are routed to the Pallas kernel (ops/fk_kernel.py) via a
+    custom_vmap rule; unbatched calls and the default path use the XLA
+    level-parallel sweep below."""
+    if model.params.use_pallas_fk:
+        key = id(model)
+        if key not in _PALLAS_FK_CACHE:
+            _PALLAS_FK_CACHE[key] = _make_pallas_dispatch(model)
+        return _PALLAS_FK_CACHE[key](state)
+    return _fk_xla(model, state)
+
+
+def _make_pallas_dispatch(model: PhysicsModel):
+    from jax import custom_batching
+
+    @custom_batching.custom_vmap
+    def _fk1(state):
+        return _fk_xla(model, state)
+
+    @_fk1.def_vmap
+    def _fk_vmap_rule(axis_size, in_batched, state):
+        from ..ops.fk_kernel import fk_pallas
+        out = fk_pallas(model, state)
+        out_batched = jax.tree.map(lambda _: True, out)
+        return out, out_batched
+
+    return _fk1
+
+
+def _fk_xla(model: PhysicsModel, state: SimState) -> FKResult:
     J = model.num_joints
     batch = state.batch_shape
     om = joint_omega(model, state)          # (...,J,3)

@@ -45,6 +45,7 @@ class SimParams:
     num_self_contacts: int = 8   # top-K2 self-contact buffer
     apgd_iters: int = 24         # APGD iterations (≈2.4x Bullet's 10 GS)
     ns_iters: int = 1            # Newton–Schulz refinements per warm substep
+    use_pallas_fk: bool = False  # route batched FK through the Pallas kernel
 
     @property
     def dt_sim(self) -> float:
