@@ -102,12 +102,15 @@ def _inv3(m):
 
 
 def solve_contacts(model: PhysicsModel, Minv, J, v_pred, contacts: Contacts,
-                   dt, normals=None):
+                   dt, normals=None, mu=None):
     """Cone-constrained contact impulse solve (APGD).
 
     Minv: explicit inverse of the damped mass matrix, (...,NV,NV).
     J: (...,K,3,NV).  v_pred: (...,NV) post-force velocity.
     normals: (...,K,3) per-contact normals; None -> all env-up (ground).
+    mu: (...,K) per-contact friction; None -> params.mu everywhere (Bullet
+    multiplies the two bodies' coefficients, so char-char contacts get
+    mu_char^2 while char-ground gets mu_char * mu_ground).
     Returns (delta_v (...,NV), impulses (...,K,3)).
     """
     p = model.params
@@ -147,7 +150,8 @@ def solve_contacts(model: PhysicsModel, Minv, J, v_pred, contacts: Contacts,
         lt1 = jnp.einsum("...ki,...ki->...k", li, t1)
         lt2 = jnp.einsum("...ki,...ki->...k", li, t2)
         lt = jnp.sqrt(lt1 ** 2 + lt2 ** 2 + 1e-12)
-        scale = jnp.minimum(1.0, p.mu * ln / jnp.maximum(lt, 1e-9))
+        mu_k = p.mu if mu is None else mu
+        scale = jnp.minimum(1.0, mu_k * ln / jnp.maximum(lt, 1e-9))
         li = (ln[..., None] * n
               + (scale * lt1)[..., None] * t1
               + (scale * lt2)[..., None] * t2)

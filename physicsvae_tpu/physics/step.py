@@ -122,6 +122,7 @@ def substep(model: PhysicsModel, state: SimState, action: Action,
     J = contacts_mod.contact_jacobian(model, k, cons)
     normals = jnp.broadcast_to(jnp.asarray(model.v_up_env, J.dtype),
                                cons.depth.shape + (3,))
+    mu = jnp.full(cons.depth.shape, p.mu)
     if p.self_collision and model.self_pairs.shape[0] > 0:
         # capsule-capsule self contacts join the same impulse solve
         from .self_collision import detect_self_contacts, pair_jacobian
@@ -137,8 +138,11 @@ def substep(model: PhysicsModel, state: SimState, action: Action,
             point_idx=jnp.concatenate(
                 [cons.point_idx, -jnp.ones_like(bi)], axis=-1),
         )
+        # Bullet combines friction multiplicatively: char-char = mu^2
+        mu = jnp.concatenate(
+            [mu, jnp.full(sd.shape, p.mu * p.mu)], axis=-1)
     dv, _ = contacts_mod.solve_contacts(model, Minv, J, v_pred, cons, dt,
-                                        normals)
+                                        normals, mu)
     vel = v_pred + dv
 
     # Semi-implicit Euler integration

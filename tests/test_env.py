@@ -152,3 +152,39 @@ def test_task_obs_zero_lookahead_matches_kin(env):
     assert np.linalg.norm(ff[:3]) < 0.5
     # facing dir in sim facing frame: mostly +z
     assert ff[5] > 0.8
+
+
+def test_reward_weight_schedule():
+    """weight_schedule lerps the leaf weight by timesteps_total
+    (envs/env_humanoid_base.py:973-976)."""
+    fn = compile_reward({
+        "name": "total", "op": "add", "child_nodes": [
+            {"name": "a", "op": "leaf",
+             "weight": 2.0,
+             "weight_schedule": [(0, 1.0), (100, 0.0)],
+             "kernel": {"type": "none"}},
+        ]})
+    r0, _ = fn({"a": jnp.asarray(1.0)}, timesteps_total=0)
+    r50, _ = fn({"a": jnp.asarray(1.0)}, timesteps_total=50)
+    r100, _ = fn({"a": jnp.asarray(1.0)}, timesteps_total=100)
+    assert np.isclose(float(r0), 2.0)
+    assert np.isclose(float(r50), 1.0)
+    assert np.isclose(float(r100), 0.0)
+
+
+def test_sim_window_termination():
+    cfg = make_env(SPEC, project_dir="/root/reference").cfg
+    import dataclasses
+    from physicsvae_tpu.env.imitation import ImitationEnv
+    cfg2 = dataclasses.replace(
+        cfg, early_term_choices=["sim_window"], et_sim_window_time=2.5 / 30.0,
+        et_eoe_margin=0.0)
+    env2 = ImitationEnv(cfg2)
+    st = env2.reset(jax.random.PRNGKey(0), ref_motion_id=0, start_time=0.0)
+    step = jax.jit(env2.step)
+    action = jnp.zeros(54)
+    dones = []
+    for _ in range(5):
+        st, obs, rew, done, info = step(st, action)
+        dones.append(bool(done))
+    assert dones == [False, False, True, True, True]
