@@ -188,3 +188,21 @@ def test_sim_window_termination():
         st, obs, rew, done, info = step(st, action)
         dones.append(bool(done))
     assert dones == [False, False, True, True, True]
+
+
+def test_add_noise_reset(env):
+    """add_noise=True perturbs the RSI pose away from the reference
+    (add_noise_to_pose_vel path)."""
+    rng = jax.random.PRNGKey(11)
+    st_clean = env.reset(rng, ref_motion_id=0, start_time=1.0,
+                         add_noise=False)
+    st_noisy = env.reset(rng, ref_motion_id=0, start_time=1.0,
+                         add_noise=True)
+    from physicsvae_tpu.maths import quaternion as quat
+    dq = np.asarray(quat.geodesic_angle(st_clean.sim.joint_q,
+                                        st_noisy.sim.joint_q))
+    movable = np.asarray(env.model.movable)
+    assert dq[movable].max() > 0.01
+    assert dq[movable].max() <= 0.5 + 1e-4
+    # root untouched
+    assert np.allclose(st_clean.sim.root_p, st_noisy.sim.root_p)
