@@ -130,10 +130,17 @@ class PhysicsVAE(nn.Module):
             if c.latent_prior_type == "normal_state_mean_one_std":
                 out["prior_mu"] = self.latent_prior(obs_body)
         elif c.latent_prior_type == "hypersphere_uniform":
+            # Reference (rllib_model_torch.py:810-814): mu is the normalized
+            # encoder output, the prior is a fresh random direction on the
+            # sphere, and z_task passes through UNnormalized.
             mu = z / jnp.maximum(
                 jnp.linalg.norm(z, axis=-1, keepdims=True), 1e-8)
-            z_task = mu
+            z_task = z
             out.update(mu=mu)
+            if rng is not None:
+                zp = jax.random.normal(rng, mu.shape)
+                out["prior_mu"] = zp / jnp.maximum(
+                    jnp.linalg.norm(zp, axis=-1, keepdims=True), 1e-8)
         else:  # no prior
             z_task = z
         out["z_task"] = z_task

@@ -54,8 +54,11 @@ def test_prior_variants():
         logits, aux = model.apply(variables, obs, rng=jax.random.PRNGKey(2))
         assert logits.shape == (2, 12)
         if prior == "hypersphere_uniform":
-            n = np.linalg.norm(np.asarray(aux["z_task"]), axis=-1)
-            assert np.allclose(n, 1.0, atol=1e-5)
+            # Reference rllib_model_torch.py:810-814: mu and the random
+            # prior direction are unit vectors; z_task is NOT normalized.
+            for key in ("mu", "prior_mu"):
+                n = np.linalg.norm(np.asarray(aux[key]), axis=-1)
+                assert np.allclose(n, 1.0, atol=1e-5)
 
 
 def test_state_mean_prior():
