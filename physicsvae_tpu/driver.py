@@ -39,6 +39,10 @@ def arg_parser():
     p.add_argument("--resume", action="store_true",
                    help="auto-resume from <local_dir>/trainer_state if "
                         "present (tune resume=ERRORED_ONLY parity)")
+    p.add_argument("--eval_method", type=str, default="full",
+                   choices=["full", "pass_through"],
+                   help="physics_vae runtime eval mode "
+                        "(EnvRunner, envs/rllib_env_imitation.py:215-270)")
     return p
 
 
@@ -49,6 +53,101 @@ def build(args):
     spec = load_spec(args.spec)
     env = make_env(args.spec, project_dir=args.project_dir)
     return spec, env
+
+
+def build_vae_cfg_from_spec(spec: dict, env):
+    """PhysicsVAEConfig from spec.config.model.custom_model_config (the
+    reference custom-model plumbing, rllib_driver.py:143-149 +
+    rllib_model_torch.py:462-510)."""
+    from .models.physics_vae import PhysicsVAEConfig
+
+    cmc = spec.get("config", {}).get("model", {}).get(
+        "custom_model_config", {})
+    kw = dict(dim_state_body=env.dim_state_body,
+              dim_state_task=env.dim_state_task,
+              dim_action=env.dim_action)
+    for key in ("log_std_type", "sample_std", "task_encoder_output_dim",
+                "latent_prior_type", "motor_decoder_helper_enable",
+                "motor_decoder_helper_range"):
+        if key in cmc:
+            kw[key] = cmc[key]
+    for key in ("task_encoder_inputs", "motor_decoder_inputs"):
+        if key in cmc:
+            kw[key] = tuple(cmc[key])
+    for key in ("task_encoder_layers", "motor_decoder_layers",
+                "motor_decoder_helper_layers", "value_fn_layers",
+                "world_model_layers", "latent_prior_layers"):
+        if cmc.get(key):
+            kw[key] = tuple(cmc[key])
+    return PhysicsVAEConfig(**kw)
+
+
+def build_custom_policy(args, spec: dict, env):
+    """Resolve spec.config.model.custom_model into a PPO policy factory with
+    per-component preload + freeze (rllib_model_torch.py:707-727, :930-950).
+
+    Returns (policy_factory | None, param_label_fn | None, vae_bundle | None)
+    — all None selects the default fcnn policy.
+    """
+    model_cfg = spec.get("config", {}).get("model", {})
+    custom = model_cfg.get("custom_model", "fcnn")
+    if custom in (None, "fcnn"):
+        return None, None, None
+    if custom != "physics_vae":
+        raise NotImplementedError(custom)
+
+    from .models.physics_vae import component_label, init_model
+    from .train.checkpoint import load_component, load_model
+    from .train.ppo import make_physics_vae_policy
+
+    cmc = model_cfg.get("custom_model_config", {})
+    vcfg = build_vae_cfg_from_spec(spec, env)
+    model, variables = init_model(vcfg, jax.random.PRNGKey(args.seed))
+    params = variables["params"]
+
+    pd = args.project_dir or spec.get("config", {}).get(
+        "env_config", {}).get("project_dir", ".")
+
+    def full(p):
+        return p if os.path.isabs(p) else os.path.join(pd, p)
+
+    def try_load(path, fn, what):
+        if os.path.exists(full(path)):
+            return fn(full(path))
+        print(f"WARNING: {what} weights not found at {full(path)}; "
+              "continuing with fresh init")
+        return None
+
+    if cmc.get("load_weights"):
+        loaded = try_load(cmc["load_weights"],
+                          lambda p: load_model(p, like_params=params),
+                          "model")
+        params = loaded if loaded is not None else params
+    frozen = set()
+    for comp in ("task_encoder", "motor_decoder", "motor_decoder_helper",
+                 "world_model"):
+        w = cmc.get(comp + "_load_weights")
+        if w:
+            loaded = try_load(w, lambda p: load_component(p, params, comp),
+                              comp)
+            params = loaded if loaded is not None else params
+        if cmc.get(comp + "_learnable") is False:
+            frozen.add(comp)
+
+    variables = dict(variables)
+    variables["params"] = params
+    factory = make_physics_vae_policy(vcfg, variables=variables)
+
+    label_fn = None
+    if frozen:
+        import jax as _jax
+
+        def label_fn(params):
+            return _jax.tree_util.tree_map_with_path(
+                lambda p, _: "frozen" if component_label(p) in frozen
+                else "train", params)
+
+    return factory, label_fn, (model, variables, vcfg)
 
 
 def mode_train(args):
@@ -72,7 +171,9 @@ def mode_train(args):
         sample_std=mcfg.get("sample_std", 0.1),
         log_std_type=mcfg.get("log_std_type", "constant"),
     )
-    tr = PPOTrainer(env, cfg, jax.random.PRNGKey(args.seed))
+    factory, label_fn, _ = build_custom_policy(args, spec, env)
+    tr = PPOTrainer(env, cfg, jax.random.PRNGKey(args.seed),
+                    policy_factory=factory, param_label_fn=label_fn)
     os.makedirs(args.local_dir, exist_ok=True)
     state_dir = os.path.join(args.local_dir, "trainer_state")
     if args.resume and os.path.isdir(state_dir):
@@ -119,6 +220,28 @@ def mode_load(args):
     from .kinematics.bvh import load_bvh
 
     spec, env = build(args)
+    _, _, vae_bundle = build_custom_policy(args, spec, env)
+    if vae_bundle is not None:
+        # physics_vae runtime (loco_runtime_physics_vae.yaml): drive the
+        # EnvRunner in full or pass_through mode.
+        from .runtime.runner import EnvRunner
+        from .train.checkpoint import load_model
+
+        model, variables, vcfg = vae_bundle
+        if args.checkpoint:
+            variables = dict(variables)
+            variables["params"] = load_model(args.checkpoint,
+                                             like_params=variables["params"])
+        runner = EnvRunner(env, model, variables,
+                           rng=jax.random.PRNGKey(args.seed), explore=False)
+        runner.policy_eval_method = args.eval_method
+        for ep in range(args.num_episodes):
+            runner.reset()
+            rews = runner.run_episode(max_steps=env.cfg.fps_con * 30)
+            print(f"episode {ep} ({args.eval_method}): len={len(rews)} "
+                  f"mean_rew={np.mean(rews):.3f}")
+        return
+
     policy, variables = _load_policy(args, env)
 
     @jax.jit

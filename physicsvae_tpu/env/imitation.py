@@ -43,11 +43,13 @@ class EnvState:
     rew_sum: Any          # f32
     last_reward: Any      # f32
     rng: Any              # PRNG key
+    obstacles: Any = None  # ObstacleState pool (None when disabled)
 
     def tree_flatten(self):
         return (self.sim, self.ref_idx, self.start_time, self.elapsed,
                 self.eoe_intermediate, self.time_after_eoe, self.done,
-                self.rew_queue, self.rew_sum, self.last_reward, self.rng), None
+                self.rew_queue, self.rew_sum, self.last_reward, self.rng,
+                self.obstacles), None
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
@@ -62,7 +64,9 @@ class ImitationEnv:
 
     def __init__(self, cfg: EnvConfig):
         self.cfg = cfg
-        params = model_mod.SimParams(fps_sim=cfg.fps_sim, fps_con=cfg.fps_con)
+        params = model_mod.SimParams(
+            fps_sim=cfg.fps_sim, fps_con=cfg.fps_con,
+            actuation=cfg.actuation, self_collision=cfg.self_collision)
         cm = load_urdf(cfg.sim_char_file)
         ci = load_char_info(cfg.char_info_file)
         from ..kinematics.char_info import apply_contactable_body
@@ -85,18 +89,32 @@ class ImitationEnv:
         self.height_fix = jnp.asarray(
             cfg.ref_motion_height_fix * ci.v_up_env, dtype=jnp.float32)
 
+        # Terrain: flat plane (0.0) or bilinear heightmap, threaded through
+        # contacts, falldown and state builders (reference heightmap path,
+        # envs/env_humanoid_tracking.py:157-161, :295-345).
+        if cfg.ground_height_map:
+            from PIL import Image
+            from .ground import Heightmap
+            img = Image.open(cfg.ground_height_map).convert("L")
+            self.ground = Heightmap.from_image_array(
+                img, size=tuple(cfg.ground_size[:2]))
+        else:
+            self.ground = 0.0
+
         self.reward_fn = compile_reward(cfg.reward_fn_def)
         self.reward_terms = subterm_names(cfg.reward_fn_def)
         self.lookahead = list(cfg.sensor_lookahead)
 
         self.dt_con = 1.0 / cfg.fps_con
         self.low_reward_len = int(round(cfg.fps_con * cfg.et_low_reward_duration))
+        # rllib horizon (episode step cap); set by the trainer (static)
+        self.horizon = None
 
         # task-state key (exactly one ref_motion_* entry in the loco specs)
         self.task_keys = [c for c in cfg.state_choices if c != "body"]
 
         md = self.model
-        self.dim_action = md.action_dim
+        self._build_action_spaces()
         self.dim_state_body = obs_mod.body_state_dim(md, cfg.state_body_type)
         self.dim_state_task = self._task_dim()
         self.dim_state = (
@@ -106,6 +124,58 @@ class ImitationEnv:
     # ------------------------------------------------------------------
     # helpers
     # ------------------------------------------------------------------
+
+    def _build_action_spaces(self):
+        """Per-space normalizers + action layout (envs/env_humanoid_base.py:
+        217-279): [residual linear force (3)] + [residual angular force (3)]
+        + [torque | target pose] — same ordering as the reference step
+        (envs/env_humanoid_base.py:566-594)."""
+        import numpy as np
+        from ..maths.normalizer import Normalizer
+
+        cfg = self.cfg
+        md = self.model
+        clamp = cfg.action_apply_clamp
+
+        def norm(rmin, rmax, nmin, nmax):
+            return Normalizer(np.asarray(rmin, np.float32),
+                              np.asarray(rmax, np.float32),
+                              np.asarray(nmin, np.float32),
+                              np.asarray(nmax, np.float32), clamp)
+
+        dim = 0
+        self._norm_lin = self._norm_ang = None
+        if cfg.use_base_residual_linear_force:
+            self._norm_lin = norm(cfg.range_min_linear_force,
+                                  cfg.range_max_linear_force,
+                                  cfg.range_min_pol_linear_force,
+                                  cfg.range_max_pol_linear_force)
+            dim += 3
+        if cfg.use_base_residual_angular_force:
+            if cfg.base_residual_angular_force_frame != "base":
+                raise NotImplementedError(
+                    cfg.base_residual_angular_force_frame)
+            self._norm_ang = norm(cfg.range_min_angular_force,
+                                  cfg.range_max_angular_force,
+                                  cfg.range_min_pol_angular_force,
+                                  cfg.range_max_pol_angular_force)
+            dim += 3
+
+        n_dofs = md.action_dim
+        if cfg.actuation == "tq":
+            # real range = per-dof max force (envs/env_humanoid_base.py:232-242)
+            mf = np.asarray(md.max_force[6:], np.float32)
+            self._norm_main = Normalizer(
+                -mf, mf,
+                np.full(n_dofs, cfg.action_range_min_pol, np.float32),
+                np.full(n_dofs, cfg.action_range_max_pol, np.float32), clamp)
+        else:
+            self._norm_main = norm(
+                np.full(n_dofs, cfg.action_range_min, np.float32),
+                np.full(n_dofs, cfg.action_range_max, np.float32),
+                np.full(n_dofs, cfg.action_range_min_pol, np.float32),
+                np.full(n_dofs, cfg.action_range_max_pol, np.float32))
+        self.dim_action = dim + n_dofs
 
     def _task_dim(self) -> int:
         dim = 0
@@ -181,6 +251,12 @@ class ImitationEnv:
             sim = state_mod.SimState(
                 sim.root_p, sim.root_q, jq,
                 set_joint_omega(self.model, sim.vel, jw))
+        if self.cfg.obstacle_num_slots > 0:
+            from ..physics import obstacles as obstacles_mod
+            pool = obstacles_mod.init_pool(self.cfg.obstacle_num_slots,
+                                           v_up=self.model.v_up_env)
+        else:
+            pool = None
         # Explicit (non-weak) dtypes everywhere: weak-typed scalars would
         # change aval after one scan and silently retrigger compilation.
         f32 = jnp.float32
@@ -196,34 +272,46 @@ class ImitationEnv:
             rew_sum=jnp.zeros((), f32),
             last_reward=jnp.zeros((), f32),
             rng=rng,
+            obstacles=pool,
         )
 
     # ------------------------------------------------------------------
     # observation
     # ------------------------------------------------------------------
 
+    def ground_height_under(self, p):
+        """Terrain height under world point(s) p (get_ground_height_at,
+        envs/env_humanoid_tracking.py:295-345)."""
+        if hasattr(self.ground, "height_at"):
+            return self.ground.height_at(p[..., 0], p[..., 2])
+        return jnp.zeros(p.shape[:-1])
+
     def observe(self, st: EnvState):
         k_sim = fk_mod.fk(self.model, st.sim)
+        gh = self.ground_height_under(st.sim.root_p)
         parts = []
         for key in self.cfg.state_choices:
             if key == "body":
                 parts.append(obs_mod.body_state(
-                    self.model, k_sim, self.cfg.state_body_type))
+                    self.model, k_sim, self.cfg.state_body_type, gh))
             else:
-                parts.append(self._task_state(st, k_sim, key))
+                parts.append(self._task_state(st, k_sim, key, gh))
         return jnp.concatenate(parts, axis=-1)
 
     def observe_body(self, st: EnvState, body_type: Optional[str] = None):
         k_sim = fk_mod.fk(self.model, st.sim)
+        gh = self.ground_height_under(st.sim.root_p)
         return obs_mod.body_state(self.model, k_sim,
-                                  body_type or self.cfg.state_body_type)
+                                  body_type or self.cfg.state_body_type, gh)
 
     def observe_task(self, st: EnvState):
         k_sim = fk_mod.fk(self.model, st.sim)
-        parts = [self._task_state(st, k_sim, key) for key in self.task_keys]
+        gh = self.ground_height_under(st.sim.root_p)
+        parts = [self._task_state(st, k_sim, key, gh)
+                 for key in self.task_keys]
         return jnp.concatenate(parts, axis=-1) if parts else jnp.zeros(0)
 
-    def _task_state(self, st: EnvState, k_sim, key):
+    def _task_state(self, st: EnvState, k_sim, key, ground_height=0.0):
         t = self.ref_time(st)
         if key.startswith("ref_motion"):
             kin_fks = []
@@ -234,7 +322,8 @@ class ImitationEnv:
             return obs_mod.imitation_task_state(
                 self.model, k_sim, kin_fks, self.cfg.state_body_type,
                 include_abs="abs" in key, include_rel="rel" in key,
-                include_facing_frame=not key.endswith("_noff"))
+                include_facing_frame=not key.endswith("_noff"),
+                ground_height=ground_height)
         if key == "phase_linear":
             return (t / self.ref_length(st.ref_idx))[..., None]
         if key == "phase_trigon":
@@ -247,57 +336,134 @@ class ImitationEnv:
     # ------------------------------------------------------------------
 
     def action_to_targets(self, st: EnvState, action) -> step_mod.Action:
-        """Denormalize + convert axis-angle action into SPD target pose
-        (compute_target_pose, envs/env_humanoid_base.py:378-452)."""
-        a = jnp.clip(action, self.cfg.action_range_min_pol,
-                     self.cfg.action_range_max_pol)
-        # loco: real range == policy range, so norm_to_real is identity+clamp
-        lo, hi = self.cfg.action_range_min, self.cfg.action_range_max
-        plo, phi = self.cfg.action_range_min_pol, self.cfg.action_range_max_pol
-        a = lo + (a - plo) / (phi - plo) * (hi - lo)
+        """Split + denormalize the policy action into actuation targets
+        (step pipeline, envs/env_humanoid_base.py:566-594; target-pose
+        computation, :378-452).
 
-        if self.cfg.action_type == "relative":
+        Layout: [residual linear force (3)] [residual angular force (3)]
+        [torque | axis-angle target pose] per _build_action_spaces.
+        """
+        cfg = self.cfg
+        c = 0
+        root_force = root_torque = None
+        if self._norm_lin is not None:
+            f = self._norm_lin.norm_to_real(action[..., c:c + 3])
+            c += 3
+            frame = cfg.base_residual_linear_force_frame
+            if frame == "base":
+                R = quat.to_matrix(st.sim.root_q)
+            elif frame == "facing":
+                R, _ = tf.facing_frame(st.sim.root_q, st.sim.root_p,
+                                       jnp.asarray(self.model.v_face),
+                                       jnp.asarray(self.model.v_up_env))
+            elif frame == "world":
+                R = jnp.broadcast_to(jnp.eye(3), f.shape[:-1] + (3, 3))
+            else:
+                raise NotImplementedError(frame)
+            root_force = jnp.einsum("...ij,...j->...i", R, f)
+        if self._norm_ang is not None:
+            t = self._norm_ang.norm_to_real(action[..., c:c + 3])
+            c += 3
+            # reference applies the torque in the root LINK frame
+            # (applyExternalTorque LINK_FRAME, sim_agent.py:599-614)
+            R = quat.to_matrix(st.sim.root_q)
+            root_torque = jnp.einsum("...ij,...j->...i", R, t)
+
+        rest = action[..., c:]
+        J = self.model.num_joints
+        if cfg.actuation == "tq":
+            tq = self._norm_main.norm_to_real(rest)
+            batch = rest.shape[:-1]
+            torque = jnp.concatenate([jnp.zeros(batch + (6,)), tq], axis=-1)
+            return step_mod.Action(
+                target_q=quat.identity(batch + (J,)),
+                target_w=jnp.zeros(batch + (J, 3)),
+                root_force=root_force, root_torque=root_torque,
+                torque=torque)
+
+        a = self._norm_main.norm_to_real(rest)
+        if cfg.action_type == "relative":
             t = self.ref_time(st)
             _, _, base_q = self.db.pose_at(st.ref_idx, t)
         else:
             base_q = jnp.asarray(self.base_q0)
 
-        J = self.model.num_joints
         aa = jnp.zeros(a.shape[:-1] + (J, 3))
-        c = 0
+        cj = 0
         for j in range(J):
             if self.model.movable[j]:
-                aa = aa.at[..., j, :].set(a[..., c:c + 3])
-                c += 3
+                aa = aa.at[..., j, :].set(a[..., cj:cj + 3])
+                cj += 3
         target = quat.mul(jnp.broadcast_to(base_q, aa.shape[:-1] + (4,)),
                           quat.from_axis_angle(aa))
         target = jnp.where(jnp.asarray(self.model.movable)[:, None], target,
                            jnp.broadcast_to(jnp.asarray([0.0, 0, 0, 1.0]),
                                             target.shape))
         return step_mod.Action(
-            target_q=target, target_w=jnp.zeros_like(aa))
+            target_q=target, target_w=jnp.zeros_like(aa),
+            root_force=root_force, root_torque=root_torque)
+
+    # ------------------------------------------------------------------
+    # obstacles
+    # ------------------------------------------------------------------
+
+    def throw_obstacle(self, pool, rng, target_pos):
+        """Launch one obstacle at the character (throw_obstacle,
+        envs/env_humanoid_base.py:363-366 + sim_obstacle.py:92-113)."""
+        from ..physics import obstacles as obstacles_mod
+        cfg = self.cfg
+        shape = (obstacles_mod.SHAPE_BOX if cfg.obstacle_shape == "box"
+                 else obstacles_mod.SHAPE_SPHERE)
+        return obstacles_mod.throw(
+            pool, rng, target_pos, v_up=jnp.asarray(self.model.v_up_env),
+            shape=shape, vel=cfg.obstacle_vel, mass=cfg.obstacle_mass,
+            ttl=cfg.obstacle_ttl)
 
     # ------------------------------------------------------------------
     # step
     # ------------------------------------------------------------------
 
-    def step(self, st: EnvState, action):
+    def step(self, st: EnvState, action, timesteps_total=0.0):
         """One control step.  Returns (next_state, obs, reward, done, info).
 
         Pipeline parity: envs/env_humanoid_base.py:534-675.
         """
-        st2, reward, done, info = self.step_core(st, action)
+        st2, reward, done, info = self.step_core(st, action, timesteps_total)
         return st2, self.observe(st2), reward, done, info
 
-    def step_core(self, st: EnvState, action):
+    def step_core(self, st: EnvState, action, timesteps_total=0.0):
         """step without the observation build (autoreset composes it with a
-        single observe over the merged state instead of two)."""
+        single observe over the merged state instead of two).
+
+        timesteps_total: the trainer's global step count, consumed by reward
+        weight schedules (set_learning_info plumbing,
+        envs/env_humanoid_base.py:349-353 -> :973-976).
+        """
         cfg = self.cfg
         act = self.action_to_targets(st, action)
-        sim = step_mod.control_step(self.model, st.sim, act)
+        pool = st.obstacles
+        rng = st.rng
+        if pool is not None:
+            rng, k1, k2 = jax.random.split(rng, 3)
+            if cfg.obstacle_throw_interval > 0:
+                # Poisson-ish random perturbation throws during training
+                # (reference: external throw_obstacle triggers,
+                # envs/env_humanoid_base.py:363-366)
+                do = (jax.random.uniform(k1)
+                      < self.dt_con / cfg.obstacle_throw_interval)
+                thrown = self.throw_obstacle(pool, k2, st.sim.root_p)
+                pool = jax.tree.map(lambda a, b: jnp.where(do, a, b),
+                                    thrown, pool)
+            sim, pool = step_mod.control_step(self.model, st.sim, act,
+                                              ground_height=self.ground,
+                                              obstacles=pool)
+        else:
+            sim = step_mod.control_step(self.model, st.sim, act,
+                                        ground_height=self.ground)
         elapsed = st.elapsed + self.dt_con
 
-        st1 = dataclasses.replace(st, sim=sim, elapsed=elapsed)
+        st1 = dataclasses.replace(st, sim=sim, elapsed=elapsed, rng=rng,
+                                  obstacles=pool)
         t_ref = self.ref_time(st1)
         kin = self._kin_state(st1.ref_idx, t_ref)
 
@@ -305,7 +471,7 @@ class ImitationEnv:
         k_kin = fk_mod.fk(self.model, kin)
 
         error = self._task_error(sim, kin, k_sim, k_kin)
-        reward, rew_info = self.reward_fn(error)
+        reward, rew_info = self.reward_fn(error, timesteps_total)
 
         # --- early termination (envs/env_humanoid_base.py:1003-1035 +
         #     envs/env_humanoid_imitation.py:369-395) ---
@@ -321,15 +487,19 @@ class ImitationEnv:
         if "low_reward" in choices:
             eoe_flags["low_reward"] = (
                 jnp.mean(rew_queue, axis=-1) < cfg.et_low_reward_thres)
+        gh_root = self.ground_height_under(sim.root_p)
         if "falldown" in choices:
             if cfg.falldown_method == "height":
-                eoe_flags["falldown"] = self._root_height(k_sim) < \
+                eoe_flags["falldown"] = \
+                    (self._root_height(k_sim) - gh_root) < \
                     cfg.et_falldown_height_min
             else:
-                dis, _ = step_mod.check_ground_contact(self.model, sim)
+                dis, _ = step_mod.check_ground_contact(self.model, sim,
+                                                       self.ground)
                 eoe_flags["falldown"] = dis
         if "falldown_by_height" in choices:
-            eoe_flags["falldown"] = self._root_height(k_sim) < \
+            eoe_flags["falldown"] = \
+                (self._root_height(k_sim) - gh_root) < \
                 cfg.et_falldown_height_min
         if "sim_window" in choices:
             eoe_flags["sim_window"] = elapsed > cfg.et_sim_window_time
@@ -356,21 +526,27 @@ class ImitationEnv:
         time_after_eoe = jnp.where(
             eoe_intermediate, st.time_after_eoe + self.dt_con, 0.0)
         done = eoe_intermediate & (time_after_eoe >= cfg.et_eoe_margin)
+        # rllib-style horizon cap (loco_imitation.yaml:43-44): hard
+        # termination at `horizon` control steps, bypassing the eoe grace.
+        if self.horizon is not None:
+            done = done | (elapsed >= self.horizon * self.dt_con - 1e-6)
 
         st2 = EnvState(
             sim=sim, ref_idx=st1.ref_idx, start_time=st1.start_time,
             elapsed=elapsed, eoe_intermediate=eoe_intermediate,
             time_after_eoe=time_after_eoe, done=done,
             rew_queue=rew_queue, rew_sum=rew_sum, last_reward=reward,
-            rng=st1.rng)
+            rng=st1.rng, obstacles=st1.obstacles)
 
-        info = {"rew_info": rew_info, "eoe": eoe_flags, "error": error}
+        info = {"rew_info": rew_info, "eoe": eoe_flags, "error": error,
+                "episode_return": rew_sum,
+                "episode_length": elapsed / self.dt_con}
         return st2, reward, done, info
 
-    def step_auto(self, st: EnvState, action):
+    def step_auto(self, st: EnvState, action, timesteps_total=0.0):
         """step + autoreset: episodes that finished are replaced by fresh RSI
         resets (vmapped equivalent of rllib worker episode handling)."""
-        st2, reward, done, info = self.step_core(st, action)
+        st2, reward, done, info = self.step_core(st, action, timesteps_total)
         rng, sub = jax.random.split(st2.rng)
         st2 = dataclasses.replace(st2, rng=rng)
         fresh = self.reset(sub)

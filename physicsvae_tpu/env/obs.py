@@ -66,14 +66,12 @@ def reference_frame(model: PhysicsModel, k: FKResult, spec: BodyStateSpec,
     return quat.to_matrix(root_q), root_p
 
 
-def body_state(model: PhysicsModel, k: FKResult, body_type: str,
-               ground_height=0.0, stacked=True):
-    """Proprioceptive state of an agent from its FK result.
-
-    Feature order per link: p, (Q), v, w, (r0, r1) — exactly
-    envs/env_humanoid_base.py:797-816.
-    """
-    spec = BODY_TYPES[body_type]
+def _body_feats(model: PhysicsModel, k: FKResult, spec: BodyStateSpec,
+                ground_height=0.0):
+    """Per-link + extra features in the reference frame, with kind tags so
+    relative states can apply quaternion differences to Q entries
+    (envs/env_humanoid_imitation.py:238-245).  Returns a list of
+    (kind, array): kind "quat" marks (...,L,4) quaternion features."""
     R_ref, p_ref = reference_frame(model, k, spec, ground_height)
     # rows of R_ref^T = columns of R_ref
     RT = jnp.swapaxes(R_ref, -1, -2)
@@ -93,42 +91,82 @@ def body_state(model: PhysicsModel, k: FKResult, body_type: str,
 
     feats = []
     if spec.include_link_p:
-        feats.append(to_ref(p - p_ref[..., None, :]))
+        feats.append(("vec", to_ref(p - p_ref[..., None, :])))
     if spec.include_link_Q:
         R_rel = jnp.einsum("...ij,...kjl->...kil", RT, quat.to_matrix(q))
-        feats.append(quat.halfspace(quat.normalize(quat.from_matrix(R_rel))))
+        feats.append(("quat", quat.halfspace(
+            quat.normalize(quat.from_matrix(R_rel)))))
     if spec.include_link_v:
-        feats.append(to_ref(v))
+        feats.append(("vec", to_ref(v)))
     if spec.include_link_w:
-        feats.append(to_ref(w))
+        feats.append(("vec", to_ref(w)))
     if spec.include_link_R6:
         R = quat.to_matrix(q)
-        feats.append(to_ref(R[..., :, 0]))
-        feats.append(to_ref(R[..., :, 1]))
+        feats.append(("vec", to_ref(R[..., :, 0])))
+        feats.append(("vec", to_ref(R[..., :, 1])))
 
-    per_link = jnp.concatenate(feats, axis=-1)      # (...,L,per)
-    out = [per_link.reshape(per_link.shape[:-2] + (-1,))]
-
+    extras = []
     if spec.include_com:
         com, com_v = com_and_vel(model, k)
-        com_rel = jnp.einsum("...ij,...j->...i", RT, com - p_ref)
-        comv_rel = jnp.einsum("...ij,...j->...i", RT, com_v)
-        out.append(com_rel)
-        out.append(comv_rel)
+        extras.append(("vec", jnp.einsum("...ij,...j->...i", RT,
+                                         com - p_ref)))
+        extras.append(("vec", jnp.einsum("...ij,...j->...i", RT, com_v)))
 
     if spec.include_root_height:
         up = jnp.asarray(model.v_up_env)
         h = jnp.einsum("...i,i->...", k.body_p[..., 0, :], up) - ground_height
-        out.append(h[..., None])
+        extras.append(("vec", h[..., None]))
 
     if spec.include_root_up_dir:
         root_R = quat.to_matrix(k.body_q[..., 0, :])
-        out.append(jnp.einsum("...ij,j->...i", root_R,
-                              jnp.asarray(model.v_up)))
+        extras.append(("vec", jnp.einsum("...ij,j->...i", root_R,
+                                         jnp.asarray(model.v_up))))
+    return feats, extras
 
+
+def _assemble(feats, extras):
+    per_link = jnp.concatenate([a for _, a in feats], axis=-1)  # (...,L,per)
+    out = [per_link.reshape(per_link.shape[:-2] + (-1,))]
+    out += [a for _, a in extras]
+    return out
+
+
+def body_state(model: PhysicsModel, k: FKResult, body_type: str,
+               ground_height=0.0, stacked=True):
+    """Proprioceptive state of an agent from its FK result.
+
+    Feature order per link: p, (Q), v, w, (r0, r1) — exactly
+    envs/env_humanoid_base.py:797-816.
+    """
+    spec = BODY_TYPES[body_type]
+    out = _assemble(*_body_feats(model, k, spec, ground_height))
     if stacked:
         return jnp.concatenate(out, axis=-1)
     return out
+
+
+def _quat_difference(q_start, q_end):
+    """Bullet getDifferenceQuaternion semantics: flip q_end to q_start's
+    hemisphere (nearest), then q_end * q_start^-1."""
+    dot = jnp.sum(q_start * q_end, axis=-1, keepdims=True)
+    q_end = jnp.where(dot < 0.0, -q_end, q_end)
+    return quat.mul(q_end, quat.conjugate(q_start))
+
+
+def body_state_rel(model: PhysicsModel, k_sim: FKResult, k_kin: FKResult,
+                   body_type: str, ground_height=0.0):
+    """sim-vs-kin feature difference with quaternion features compared via
+    difference quaternions, matching state_imitation's include_rel branch
+    (envs/env_humanoid_imitation.py:238-245)."""
+    spec = BODY_TYPES[body_type]
+    fs, es = _body_feats(model, k_sim, spec, ground_height)
+    fk_, ek = _body_feats(model, k_kin, spec, ground_height)
+    feats = [(kind, _quat_difference(a_sim, a_kin) if kind == "quat"
+              else a_sim - a_kin)
+             for (kind, a_sim), (_, a_kin) in zip(fs, fk_)]
+    extras = [(kind, a_sim - a_kin)
+              for (kind, a_sim), (_, a_kin) in zip(es, ek)]
+    return jnp.concatenate(_assemble(feats, extras), axis=-1)
 
 
 def imitation_task_state(model: PhysicsModel, k_sim: FKResult,
@@ -150,9 +188,8 @@ def imitation_task_state(model: PhysicsModel, k_sim: FKResult,
         if include_abs:
             parts.append(body_state(model, k_kin, body_type, ground_height))
         if include_rel:
-            s_sim = body_state(model, k_sim, body_type, ground_height)
-            s_kin = body_state(model, k_kin, body_type, ground_height)
-            parts.append(s_sim - s_kin)
+            parts.append(body_state_rel(model, k_sim, k_kin, body_type,
+                                        ground_height))
         if include_facing_frame:
             R_kin, p_kin = tf.facing_frame(
                 k_kin.body_q[..., 0, :], k_kin.body_p[..., 0, :],

@@ -87,9 +87,8 @@ class TrackingEnv:
         update (envs/env_humanoid_tracking.py:375-413)."""
         action = action if action is not None else step_mod.hold_action(
             self.model, st.sim.batch_shape)
-        sim = step_mod.control_step(self.model, st.sim, action)
-        g = self.model.params.gravity * jnp.asarray(self.model.v_up_env)
-        obstacles = obs_mod.update(st.obstacles, self.dt_con, g)
+        sim, obstacles = step_mod.control_step(self.model, st.sim, action,
+                                               obstacles=st.obstacles)
         return TrackingState(
             sim=sim, obstacles=obstacles,
             elapsed=st.elapsed + self.dt_con,
@@ -106,7 +105,9 @@ class TrackingEnv:
         """By height or by disallowed-link ground collision
         (envs/env_humanoid_tracking.py:268-293)."""
         if self.falldown_method == "height":
-            h = st.sim.root_p[..., 1] - self.ground_height(st)
+            up = jnp.asarray(self.model.v_up_env)
+            h = jnp.einsum("...i,i->...", st.sim.root_p, up) \
+                - self.ground_height(st)
             return h < self.falldown_height_min
         dis, _ = step_mod.check_ground_contact(self.model, st.sim)
         return dis

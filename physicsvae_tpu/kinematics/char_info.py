@@ -30,6 +30,8 @@ class CharInfo:
     dof: np.ndarray            # (J,)
     kp: np.ndarray             # (J,) spd gains
     kd: np.ndarray             # (J,)
+    kp_pd: np.ndarray          # (J,) explicit-PD gains (kp['pd'], else spd)
+    kd_pd: np.ndarray          # (J,)
     cpd_ratio: float
     max_force: np.ndarray      # (J,)
     contact_allow: np.ndarray  # (J,) bool — link may touch ground
@@ -77,6 +79,12 @@ def load_char_info(path: str) -> CharInfo:
 
     kp = arr(mod.kp["spd"]) if isinstance(mod.kp, dict) and "spd" in mod.kp else arr(mod.kp)
     kd = arr(mod.kd["spd"]) if isinstance(mod.kd, dict) and "spd" in mod.kd else arr(mod.kd)
+    # Explicit-PD gains: kp['pd'] when the char-info defines them
+    # (sim_agent.py:177-179), falling back to the spd set.
+    kp_pd = arr(mod.kp["pd"]) if isinstance(mod.kp, dict) and "pd" in mod.kp \
+        else kp
+    kd_pd = arr(mod.kd["pd"]) if isinstance(mod.kd, dict) and "pd" in mod.kd \
+        else kd
 
     return CharInfo(
         name=getattr(mod, "name", "character"),
@@ -91,6 +99,8 @@ def load_char_info(path: str) -> CharInfo:
         dof=np.array([int(mod.dof[j]) for j in range(J)], dtype=np.int32),
         kp=kp,
         kd=kd,
+        kp_pd=kp_pd,
+        kd_pd=kd_pd,
         cpd_ratio=float(getattr(mod, "cpd_ratio", 1.0)),
         max_force=arr(mod.max_force),
         contact_allow=np.array(

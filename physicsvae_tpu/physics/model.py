@@ -40,7 +40,9 @@ class SimParams:
     contact_slop: float = 0.002
     gravity: float = -9.8
     joint_damping: float = 0.02  # URDF <dynamics damping>
-    spd: bool = True
+    # Actuation mode (SimAgent.Actuation, sim_agent.py:29-46):
+    # spd | pd | cpd | cp | v | tq | none
+    actuation: str = "spd"
     self_collision: bool = True  # physics_param self_collision (spec)
     num_self_contacts: int = 8   # top-K2 self-contact buffer
     apgd_iters: int = 24         # APGD iterations (≈2.4x Bullet's 10 GS)
@@ -93,8 +95,11 @@ class PhysicsModel:
     anc_pair: np.ndarray         # (NV, NV) bool: e ancestor-or-self of d
 
     # Actuation (dof-indexed; zeros on root dofs)
-    kp: np.ndarray               # (NV,)
+    kp: np.ndarray               # (NV,) stable-PD gains
     kd: np.ndarray               # (NV,)
+    kp_pd: np.ndarray            # (NV,) explicit-PD gains
+    kd_pd: np.ndarray            # (NV,)
+    cpd_ratio: float             # constraint-motor gain scale (char info)
     max_force: np.ndarray        # (NV,)
     damping: np.ndarray          # (NV,)
 
@@ -237,14 +242,20 @@ def build_model(cm: CharacterModel, ci: CharInfo,
     # reference sim_agent.py:156-185)
     kp = np.zeros(nv)
     kd = np.zeros(nv)
+    kp_pd = np.zeros(nv)
+    kd_pd = np.zeros(nv)
     max_force = np.zeros(nv)
     damping = np.zeros(nv)
+    ci_kp_pd = getattr(ci, "kp_pd", ci.kp)
+    ci_kd_pd = getattr(ci, "kd_pd", ci.kd)
     for j in range(J):
         s = joint_dof_start[j]
         if s < 0:
             continue
         kp[s:s + 3] = ci.kp[j]
         kd[s:s + 3] = ci.kd[j]
+        kp_pd[s:s + 3] = ci_kp_pd[j]
+        kd_pd[s:s + 3] = ci_kd_pd[j]
         max_force[s:s + 3] = ci.max_force[j]
         damping[s:s + 3] = params.joint_damping
 
@@ -291,6 +302,9 @@ def build_model(cm: CharacterModel, ci: CharInfo,
         anc_pair=anc_pair,
         kp=kp,
         kd=kd,
+        kp_pd=kp_pd,
+        kd_pd=kd_pd,
+        cpd_ratio=float(getattr(ci, "cpd_ratio", 1.0)),
         max_force=max_force,
         damping=damping,
         point_body=point_body,

@@ -2,12 +2,16 @@
 
 Re-build of sim_obstacle.py (Obstacle/ObstacleManager): in the reference,
 obstacles are Bullet bodies created/removed at runtime (launch/throw/update
-with TTL, sim_obstacle.py:66-125).  Add/remove is shape-dynamic, so the TPU
-version is a fixed-slot pool: each slot is a ballistic sphere with a TTL
-mask; inactive slots are parked far away with zero velocity.  Obstacles are
-one-way couplers (they hit the character; the character does not deflect
-them) — a deliberate simplification that preserves the training purpose
-(perturbation injection, envs/env_humanoid_base.py:363-366).
+with TTL, sim_obstacle.py:66-125) and couple to the character through the
+common contact solver.  Add/remove is shape-dynamic, so the TPU version is a
+fixed-slot pool: each slot is a ballistic body with a TTL mask; inactive
+slots are parked far away with zero velocity.  Boxes (the reference throw
+default, sim_obstacle.py:92) are carried with their half extents and coupled
+through their bounding sphere — a deliberate one-way-ish simplification that
+preserves the training purpose (perturbation injection,
+envs/env_humanoid_base.py:363-366): obstacles impart impulses on the
+character and reflect off it, but do not enter the character's cone-friction
+contact solve.
 """
 from __future__ import annotations
 
@@ -19,35 +23,44 @@ import jax.numpy as jnp
 
 from .model import PhysicsModel
 
+SHAPE_SPHERE = 0
+SHAPE_BOX = 1
+
 
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class ObstacleState:
     pos: Any        # (...,S,3)
     vel: Any        # (...,S,3)
-    radius: Any     # (...,S)
+    radius: Any     # (...,S) coupling/bounce radius
+    half_extents: Any  # (...,S,3) box half extents (== radius for spheres)
+    shape: Any      # (...,S) int32: SHAPE_SPHERE | SHAPE_BOX
     mass: Any       # (...,S)
     ttl: Any        # (...,S) seconds remaining; <=0 means inactive
     next_slot: Any  # (...) int32 round-robin cursor
 
     def tree_flatten(self):
-        return (self.pos, self.vel, self.radius, self.mass, self.ttl,
-                self.next_slot), None
+        return (self.pos, self.vel, self.radius, self.half_extents,
+                self.shape, self.mass, self.ttl, self.next_slot), None
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
         return cls(*leaves)
 
 
-PARK = jnp.asarray([0.0, -1000.0, 0.0])
+PARK_DIST = 1000.0
 
 
-def init_pool(num_slots: int, batch_shape=()) -> ObstacleState:
+def init_pool(num_slots: int, batch_shape=(), v_up=(0.0, 1.0, 0.0)
+              ) -> ObstacleState:
     S = num_slots
+    park = -PARK_DIST * jnp.asarray(v_up)
     return ObstacleState(
-        pos=jnp.broadcast_to(PARK, batch_shape + (S, 3)) + 0.0,
+        pos=jnp.broadcast_to(park, batch_shape + (S, 3)) + 0.0,
         vel=jnp.zeros(batch_shape + (S, 3)),
         radius=jnp.full(batch_shape + (S,), 0.1),
+        half_extents=jnp.full(batch_shape + (S, 3), 0.1),
+        shape=jnp.zeros(batch_shape + (S,), dtype=jnp.int32),
         mass=jnp.full(batch_shape + (S,), 1.0),
         ttl=jnp.zeros(batch_shape + (S,)),
         next_slot=jnp.zeros(batch_shape, dtype=jnp.int32),
@@ -55,30 +68,36 @@ def init_pool(num_slots: int, batch_shape=()) -> ObstacleState:
 
 
 def throw(obs: ObstacleState, rng, target_pos, v_up,
-          dist_range=(1.0, 2.0), height_range=(0.5, 1.5),
-          speed_range=(5.0, 10.0), size_range=(0.1, 0.3),
-          ttl: float = 5.0) -> ObstacleState:
-    """Launch a ballistic obstacle at the character from a random direction
-    (sim_obstacle.py:92-113): spawn on a random bearing, aim at the target."""
+          shape: int = SHAPE_BOX, vel: float = 8.0,
+          r_out: float = 2.0, r_in: float = 0.2, mass: float = 2.0,
+          size_range=(0.1, 0.3), h_min: float = 0.5,
+          ttl: float = 2.0) -> ObstacleState:
+    """Launch a ballistic obstacle at the character (sim_obstacle.py:92-113):
+    spawn on a random unit direction at r_out (clamped above h_min), aim at
+    a random point within r_in of the target, speed `vel`."""
     S = obs.radius.shape[-1]
-    k1, k2, k3, k4, k5 = jax.random.split(rng, 5)
-    theta = jax.random.uniform(k1, target_pos.shape[:-1]) * 2 * jnp.pi
-    dist = jax.random.uniform(k2, theta.shape, minval=dist_range[0],
-                              maxval=dist_range[1])
-    h = jax.random.uniform(k3, theta.shape, minval=height_range[0],
-                           maxval=height_range[1])
-    speed = jax.random.uniform(k4, theta.shape, minval=speed_range[0],
-                               maxval=speed_range[1])
-    radius = jax.random.uniform(k5, theta.shape, minval=size_range[0],
-                                maxval=size_range[1])
+    k1, k2, k3 = jax.random.split(rng, 3)
+    batch = target_pos.shape[:-1]
+    d_out = jax.random.normal(k1, batch + (3,))
+    d_out = d_out / jnp.maximum(
+        jnp.linalg.norm(d_out, axis=-1, keepdims=True), 1e-6)
+    d_in = jax.random.normal(k2, batch + (3,))
+    d_in = d_in / jnp.maximum(
+        jnp.linalg.norm(d_in, axis=-1, keepdims=True), 1e-6)
+    half = jax.random.uniform(k3, batch + (3,), minval=size_range[0],
+                              maxval=size_range[1]) * 0.5
 
-    horiz = jnp.stack([jnp.cos(theta), jnp.zeros_like(theta),
-                       jnp.sin(theta)], axis=-1)
-    start = target_pos + dist[..., None] * horiz + h[..., None] * v_up
-    dir_ = target_pos - start
+    up = jnp.asarray(v_up)
+    p_from = target_pos + r_out * d_out
+    h = jnp.einsum("...i,i->...", p_from, up)
+    p_from = p_from + (jnp.maximum(h, h_min) - h)[..., None] * up
+    p_to = target_pos + r_in * d_in
+    dir_ = p_to - p_from
     dir_ = dir_ / jnp.maximum(jnp.linalg.norm(dir_, axis=-1, keepdims=True),
                               1e-6)
-    vel = speed[..., None] * dir_
+    v = vel * dir_
+
+    radius = jnp.mean(half, axis=-1) if shape == SHAPE_BOX else half[..., 0]
 
     slot = obs.next_slot
     def put(field, value):
@@ -86,40 +105,50 @@ def throw(obs: ObstacleState, rng, target_pos, v_up,
             else field.at[..., slot, :].set(value)
 
     return ObstacleState(
-        pos=put(obs.pos, start),
-        vel=put(obs.vel, vel),
+        pos=put(obs.pos, p_from),
+        vel=put(obs.vel, v),
         radius=put(obs.radius, radius),
-        mass=put(obs.mass, 4.0 / 3.0 * jnp.pi * radius ** 3 * 1000.0),
-        ttl=put(obs.ttl, jnp.full_like(radius, ttl)),
+        half_extents=put(obs.half_extents, half),
+        shape=put(obs.shape, jnp.full(batch, shape, dtype=jnp.int32)),
+        mass=put(obs.mass, jnp.full(batch, mass)),
+        ttl=put(obs.ttl, jnp.full(batch, ttl)),
         next_slot=jnp.mod(slot + 1, S),
     )
 
 
-def update(obs: ObstacleState, dt, gravity_vec,
+def update(obs: ObstacleState, dt, gravity_vec, v_up=(0.0, 1.0, 0.0),
            ground_height: float = 0.0) -> ObstacleState:
     """Ballistic integration + ground bounce + TTL countdown
-    (sim_obstacle.py:114-125 removal becomes parking)."""
+    (sim_obstacle.py:114-125 removal becomes parking).  Up-axis aware."""
+    up = jnp.asarray(v_up)
     active = (obs.ttl > 0.0)[..., None]
     vel = obs.vel + dt * gravity_vec
     pos = obs.pos + dt * vel
-    # ground bounce with restitution 0.3
-    low = pos[..., 1] - obs.radius < ground_height
-    vel = vel.at[..., 1].set(
-        jnp.where(low & (vel[..., 1] < 0), -0.3 * vel[..., 1], vel[..., 1]))
-    pos = pos.at[..., 1].set(
-        jnp.maximum(pos[..., 1], ground_height + obs.radius))
+    # ground bounce with the reference obstacle restitution 0.2
+    if hasattr(ground_height, "height_at"):
+        gh = ground_height.height_at(pos[..., 0], pos[..., 2])
+    else:
+        gh = ground_height
+    h = jnp.einsum("...i,i->...", pos, up) - gh
+    vn = jnp.einsum("...i,i->...", vel, up)
+    low = (h - obs.radius < 0.0) & (vn < 0.0)
+    vel = vel - jnp.where(low, 1.2 * vn, 0.0)[..., None] * up
+    pos = pos + jnp.maximum(obs.radius - h, 0.0)[..., None] * up
     ttl = jnp.maximum(obs.ttl - dt, 0.0)
     expired = (ttl <= 0.0)[..., None]
-    pos = jnp.where(active & ~expired, pos, jnp.where(expired, PARK, obs.pos))
+    park = -PARK_DIST * up
+    pos = jnp.where(active & ~expired, pos,
+                    jnp.where(expired, park, obs.pos))
     vel = jnp.where(active & ~expired, vel, 0.0)
-    return ObstacleState(pos=pos, vel=vel, radius=obs.radius, mass=obs.mass,
-                         ttl=ttl, next_slot=obs.next_slot)
+    return ObstacleState(pos=pos, vel=vel, radius=obs.radius,
+                         half_extents=obs.half_extents, shape=obs.shape,
+                         mass=obs.mass, ttl=ttl, next_slot=obs.next_slot)
 
 
 def impulses_on_character(model: PhysicsModel, obs: ObstacleState,
                           k_fk, vel_gen, Minv, dt):
-    """One-way obstacle->character coupling: treat an overlapping obstacle as
-    an external impulse on the closest contact candidate point.
+    """Obstacle->character coupling: treat an overlapping obstacle as an
+    external impulse on the closest contact candidate point.
 
     Returns (delta_vel_gen, obstacle_state') where obstacles bounce off
     elastically from their side as well.
@@ -136,23 +165,24 @@ def impulses_on_character(model: PhysicsModel, obs: ObstacleState,
     j = jnp.argmax(pen, axis=-1)                         # (...,S)
     take = lambda arr: jnp.take_along_axis(
         arr, j[..., None, None], axis=-2)[..., 0, :]
+    # n: unit normal from the obstacle center toward the struck point — the
+    # push direction on the character.
     n = d / jnp.maximum(dist[..., None], 1e-6)
     n_hit = take(n)                                      # (...,S,3)
     rel_v = obs.vel - take(
         jnp.broadcast_to(v[..., None, :, :], d.shape))
-    # impulse magnitude from relative normal velocity (inelastic-ish)
-    jn = jnp.sum(rel_v * (-n_hit), axis=-1)
+    # impulse magnitude from the approach speed (inelastic-ish)
+    jn = jnp.sum(rel_v * n_hit, axis=-1)
+    approaching = jn > 0.0
     jn = jnp.maximum(jn, 0.0) * obs.mass
-    hit_any = jnp.any(hit, axis=-1)
-    imp = jnp.where(hit_any[..., None], (-n_hit) * jn[..., None], 0.0)
-    # obstacles reflect
+    hit_any = jnp.any(hit, axis=-1) & approaching
+    imp = jnp.where(hit_any[..., None], n_hit * jn[..., None], 0.0)
+    # obstacles reflect: remove 1.3x of their velocity along the normal
     new_ov = jnp.where(hit_any[..., None],
-                       obs.vel - 1.3 * jnp.sum(obs.vel * (-n_hit),
+                       obs.vel - 1.3 * jnp.sum(obs.vel * n_hit,
                                                axis=-1, keepdims=True)
-                       * (-n_hit), obs.vel)
-    obs2 = ObstacleState(pos=obs.pos, vel=new_ov, radius=obs.radius,
-                         mass=obs.mass, ttl=obs.ttl,
-                         next_slot=obs.next_slot)
+                       * n_hit, obs.vel)
+    obs2 = dataclasses.replace(obs, vel=new_ov)
     # map world impulses at the struck points into generalized velocity
     from .contacts import contact_jacobian, Contacts
     pts = take(jnp.broadcast_to(x[..., None, :, :], d.shape))

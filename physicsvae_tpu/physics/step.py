@@ -51,6 +51,29 @@ def hold_action(model: PhysicsModel, batch_shape=()) -> Action:
     )
 
 
+def _aux_tau(model: PhysicsModel, state: SimState, action: Action):
+    """Torques common to every actuation mode: URDF joint damping (explicit),
+    residual root wrench (applyExternalForce/Torque, sim_agent.py:582-614),
+    and direct torques."""
+    tau = -jnp.asarray(model.damping) * state.vel
+    if action.root_force is not None:
+        tau = tau.at[..., 0:3].add(action.root_force)
+    if action.root_torque is not None:
+        tau = tau.at[..., 3:6].add(action.root_torque)
+    if action.torque is not None:
+        tau = tau + action.torque
+    return tau
+
+
+def _joint_err(model: PhysicsModel, joint_q, action: Action):
+    """Axis-angle error from the current local joint rotations to the
+    targets, per movable joint: (..., n_mov, 3)."""
+    mov = jnp.asarray(np.where(model.movable)[0])
+    err = quat.to_axis_angle(
+        quat.mul(quat.conjugate(joint_q), action.target_q))
+    return err[..., mov, :], mov
+
+
 def spd_torque(model: PhysicsModel, state: SimState, action: Action, dt):
     """Per-dof stable-PD torque (before the implicit damping solve).
 
@@ -61,44 +84,121 @@ def spd_torque(model: PhysicsModel, state: SimState, action: Action, dt):
     kp = jnp.asarray(model.kp)
     kd = jnp.asarray(model.kd)
     max_f = jnp.asarray(model.max_force)
-    damping = jnp.asarray(model.damping)
-    mov = jnp.asarray(np.where(model.movable)[0])
 
     om = joint_omega(model, state)                       # (...,J,3)
     q_adv = quat.integrate(state.joint_q, om, dt)
     # error rotation from advanced pose to target, in the child joint frame
-    err = quat.to_axis_angle(quat.mul(quat.conjugate(q_adv), action.target_q))
+    err_mov, mov = _joint_err(model, q_adv, action)
 
     # Movable-joint dofs are contiguous after the 6 root dofs, in joint order.
-    t_mov = (err[..., mov, :] * kp[6:].reshape(-1, 3)
+    t_mov = (err_mov * kp[6:].reshape(-1, 3)
              + (action.target_w[..., mov, :] - om[..., mov, :])
              * kd[6:].reshape(-1, 3))
     batch = state.vel.shape[:-1]
     tau = jnp.concatenate(
         [jnp.zeros(batch + (6,)), t_mov.reshape(batch + (-1,))], axis=-1)
     tau = jnp.clip(tau, -max_f, max_f)
-    # URDF joint damping applied explicitly
-    tau = tau - damping * state.vel
-    if action.root_force is not None:
-        tau = tau.at[..., 0:3].add(action.root_force)
-    if action.root_torque is not None:
-        tau = tau.at[..., 3:6].add(action.root_torque)
-    if action.torque is not None:
-        tau = tau + action.torque
-    return tau
+    return tau + _aux_tau(model, state, action)
+
+
+def pd_torque(model: PhysicsModel, state: SimState, action: Action):
+    """Explicit PD torque (Actuation.PD): the reference computes this in
+    Python and feeds TORQUE_CONTROL because Bullet's PD motor lacks spherical
+    support (bullet/bullet_utils.py:228-263, sim_agent.py:726-739).
+
+    tau = kp_pd * axis_diff(target, q) + kd_pd * (target_w - w), clamped.
+    """
+    kp = jnp.asarray(model.kp_pd)
+    kd = jnp.asarray(model.kd_pd)
+    max_f = jnp.asarray(model.max_force)
+
+    om = joint_omega(model, state)
+    err_mov, mov = _joint_err(model, state.joint_q, action)
+    t_mov = (err_mov * kp[6:].reshape(-1, 3)
+             + (action.target_w[..., mov, :] - om[..., mov, :])
+             * kd[6:].reshape(-1, 3))
+    batch = state.vel.shape[:-1]
+    tau = jnp.concatenate(
+        [jnp.zeros(batch + (6,)), t_mov.reshape(batch + (-1,))], axis=-1)
+    tau = jnp.clip(tau, -max_f, max_f)
+    return tau + _aux_tau(model, state, action)
+
+
+def servo_delta_v(model: PhysicsModel, state: SimState, action: Action,
+                  v_pred, Minv, dt, mode: str):
+    """Constraint-motor modes CPD / CP / V (Bullet POSITION_CONTROL /
+    VELOCITY_CONTROL, sim_agent.py:740-766): solve for the joint-dof motor
+    impulse that realizes the requested velocity change through the coupled
+    inverse mass matrix (the TPU equivalent of Bullet's iterated motor
+    constraint rows), clamped per dof to max_force*dt.
+
+    Requested change (Bullet motor semantics, gains in [0,1] acting as
+    per-step relaxation): dv = kp_c*err/dt + kd_c*(target_w - v).  Gains are
+    cpd_ratio-scaled as the char-info documents (loco_char_info.py:278-282).
+    """
+    r = model.cpd_ratio
+    kp_c = r * jnp.asarray(model.kp[6:])
+    kd_c = r * jnp.asarray(model.kd[6:])
+    max_f = jnp.asarray(model.max_force[6:])
+
+    err_mov, mov = _joint_err(model, state.joint_q, action)
+    batch = state.vel.shape[:-1]
+    err = err_mov.reshape(batch + (-1,))
+    tgt_w = action.target_w[..., mov, :].reshape(batch + (-1,))
+    v_m = v_pred[..., 6:]
+
+    # Each motor drives the dof velocity toward a target at a gain-scaled
+    # rate (Bullet's iterated motor rows converge to the same fixed points):
+    # position servo target = err/dt (close the error in one step), velocity
+    # servo target = target_w.  The incremental form kp*(err/dt - v) is a
+    # contraction — the naive additive kp*err/dt ratchets velocity and blows
+    # up, which is why Bullet recomputes the row against the current velocity
+    # every solver iteration.
+    if mode == "cpd":
+        rhs = kp_c * (err / dt - v_m) + kd_c * (tgt_w - v_m)
+    elif mode == "cp":
+        rhs = kp_c * (err / dt - v_m)
+    else:  # "v"
+        rhs = kd_c * (tgt_w - v_m)
+
+    # Motor impulse p on joint dofs such that (Minv_mm @ p) ~= rhs, with the
+    # ACCUMULATED impulse clamped per dof (Bullet's sequential-impulse motor
+    # semantics).  Projected under-relaxed Richardson iteration: stable under
+    # the clamp, unlike a one-shot exact solve.
+    Minv_mm = Minv[..., 6:, 6:]
+    diag = jnp.maximum(jnp.diagonal(Minv_mm, axis1=-2, axis2=-1), 1e-12)
+    lim = max_f * dt
+    omega = 0.3
+
+    def body(p, _):
+        resid = rhs - jnp.einsum("...ij,...j->...i", Minv_mm, p)
+        p = jnp.clip(p + omega * resid / diag, -lim, lim)
+        return p, None
+
+    p, _ = jax.lax.scan(body, jnp.zeros_like(rhs), None, length=16)
+    imp = jnp.concatenate([jnp.zeros(batch + (6,)), p], axis=-1)
+    return jnp.einsum("...ij,...j->...i", Minv, imp)
 
 
 def _damped_mass_matrix(model: PhysicsModel, M, dt):
-    kd_diag = jnp.asarray(model.kd) + jnp.asarray(model.damping)
-    return M + dt * jnp.diag(kd_diag)
+    """LHS damping: stable-PD puts kd on the diagonal (the implicit term that
+    makes kp=500 stable at 480 Hz); every mode gets the URDF joint damping."""
+    diag = jnp.asarray(model.damping)
+    if model.params.actuation == "spd":
+        diag = diag + jnp.asarray(model.kd)
+    return M + dt * jnp.diag(diag)
 
 
 def substep(model: PhysicsModel, state: SimState, action: Action,
-            Minv=None, ground_height=0.0):
+            Minv=None, ground_height=0.0, obstacles=None):
     """One physics substep at dt_sim (480 Hz for the loco config).
 
     Minv: warm-start inverse of the damped mass matrix from the previous
-    substep; None -> exact factorization.  Returns (state, Minv).
+    substep; None -> exact factorization.
+    obstacles: optional ObstacleState pool, coupled to the character and
+    ballistically integrated here (the reference steps obstacle bodies in the
+    same stepSimulation, envs/env_humanoid_tracking.py:393-407).
+    Returns (state, Minv, obstacles).
     """
     p = model.params
     dt = p.dt_sim
@@ -111,9 +211,28 @@ def substep(model: PhysicsModel, state: SimState, action: Action,
     else:
         Minv = ns_refine(M_hat, Minv, iters=p.ns_iters)
 
-    tau = spd_torque(model, state, action, dt)
+    mode = p.actuation
+    if mode == "spd":
+        tau = spd_torque(model, state, action, dt)
+    elif mode == "pd":
+        tau = pd_torque(model, state, action)
+    else:  # cpd / cp / v / tq / none: motor handled below or absent
+        tau = _aux_tau(model, state, action)
     qdd = jnp.einsum("...ij,...j->...i", Minv, tau - c)
     v_pred = state.vel + dt * qdd
+    if mode in ("cpd", "cp", "v"):
+        v_pred = v_pred + servo_delta_v(model, state, action, v_pred, Minv,
+                                        dt, mode)
+
+    if obstacles is not None:
+        from . import obstacles as obstacles_mod
+        dv_obs, obstacles = obstacles_mod.impulses_on_character(
+            model, obstacles, k, v_pred, Minv, dt)
+        v_pred = v_pred + dv_obs
+        gvec = p.gravity * jnp.asarray(model.v_up_env)
+        obstacles = obstacles_mod.update(obstacles, dt, gvec,
+                                         v_up=model.v_up_env,
+                                         ground_height=ground_height)
 
     # Contacts on the predicted velocity
     x, _ = contact_point_positions(model, k)
@@ -154,27 +273,33 @@ def substep(model: PhysicsModel, state: SimState, action: Action,
         joint_q=quat.integrate(state.joint_q, om, dt),
         vel=vel,
     )
-    return new_state, Minv
+    return new_state, Minv, obstacles
 
 
 def control_step(model: PhysicsModel, state: SimState, action: Action,
-                 ground_height=0.0) -> SimState:
+                 ground_height=0.0, obstacles=None):
     """One control step = num_substeps physics substeps under lax.scan
     (mirrors envs/env_humanoid_tracking.py:393-399).
 
     The first substep factorizes the damped mass matrix exactly; the
     remaining substeps refine the inverse (Newton–Schulz warm start).
+    Returns the new SimState, or (SimState, ObstacleState) when an obstacle
+    pool is passed.
     """
-    state, Minv = substep(model, state, action, None, ground_height)
+    state, Minv, obstacles2 = substep(model, state, action, None,
+                                      ground_height, obstacles)
 
     def body(carry, _):
-        st, Mi = carry
-        st, Mi = substep(model, st, action, Mi, ground_height)
-        return (st, Mi), None
+        st, Mi, ob = carry
+        st, Mi, ob = substep(model, st, action, Mi, ground_height, ob)
+        return (st, Mi, ob), None
 
-    (state, _), _ = jax.lax.scan(
-        body, (state, Minv), None, length=model.params.num_substeps - 1)
-    return state
+    (state, _, obstacles2), _ = jax.lax.scan(
+        body, (state, Minv, obstacles2), None,
+        length=model.params.num_substeps - 1)
+    if obstacles is None:
+        return state
+    return state, obstacles2
 
 
 def check_ground_contact(model: PhysicsModel, state: SimState,

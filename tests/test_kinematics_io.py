@@ -115,3 +115,44 @@ def test_native_parser_matches_python():
     assert np.allclose(m1.root_pos, m2.root_pos, atol=1e-4)
     dot = np.abs(np.sum(m1.joint_quat * m2.joint_quat, -1))
     assert np.allclose(dot, 1.0, atol=1e-5)
+
+
+def test_collect_motion_files_modes(tmp_path):
+    """motion_utils.collect_motion_files parity (motion_utils.py:67-125):
+    file/dir lists, num_sample top/random, cluster label files."""
+    from physicsvae_tpu.env.config import collect_motion_files
+
+    d = tmp_path / "clips"
+    d.mkdir()
+    for n in ["b.bvh", "a.bvh", "c.bvh"]:
+        (d / n).write_text("HIERARCHY\n")
+
+    # dir listing is sorted
+    out = collect_motion_files(str(tmp_path), [{"data": {"dir": ["clips"]}}])
+    assert [f.split("/")[-1] for f in out[0]] == ["a.bvh", "b.bvh", "c.bvh"]
+
+    # num_sample top
+    out = collect_motion_files(str(tmp_path), [
+        {"data": {"dir": ["clips"]}, "num_sample": 2,
+         "sample_method": "top"}])
+    assert [f.split("/")[-1] for f in out[0]] == ["a.bvh", "b.bvh"]
+
+    # num_sample random: right count, all from the pool
+    out = collect_motion_files(str(tmp_path), [
+        {"data": {"dir": ["clips"]}, "num_sample": 5,
+         "sample_method": "random"}])
+    assert len(out[0]) == 5
+    assert all(f.split("/")[-1] in {"a.bvh", "b.bvh", "c.bvh"}
+               for f in out[0])
+
+    # cluster_info label file: "id rank score filename"
+    label = tmp_path / "labels.txt"
+    label.write_text("0 0 0.9 a.bvh\n0 1 0.8 b.bvh\n1 0 0.7 c.bvh\n")
+    out = collect_motion_files(str(tmp_path), [
+        {"cluster_info": {"dir": "clips", "label_file": "labels.txt"}}])
+    assert [f.split("/")[-1] for f in out[0]] == ["a.bvh", "b.bvh", "c.bvh"]
+    # sample_id restricts to one cluster
+    out = collect_motion_files(str(tmp_path), [
+        {"cluster_info": {"dir": "clips", "label_file": "labels.txt",
+                          "sample_id": 1}}])
+    assert [f.split("/")[-1] for f in out[0]] == ["c.bvh"]

@@ -64,7 +64,7 @@ class PointMassEnv:
     def observe(self, st):
         return jnp.concatenate([st["x"], st["v"]])
 
-    def step_auto(self, st, action):
+    def step_auto(self, st, action, timesteps_total=0.0):
         a = jnp.clip(action, -1, 1)
         v = 0.9 * st["v"] + 0.1 * a
         x = st["x"] + 0.1 * v
