@@ -50,7 +50,7 @@ def detect_ground(model: PhysicsModel, x, ground=0.0):
 
 def select_contacts(model: PhysicsModel, x, depth, margin=0.0):
     """Top-K deepest candidates as a fixed-size contact set."""
-    K = model.params.num_contacts
+    K = min(model.params.num_contacts, depth.shape[-1])
     d, idx = jax.lax.top_k(depth, K)
     active = d > -margin
     pos = jnp.take_along_axis(x, idx[..., None], axis=-2)
