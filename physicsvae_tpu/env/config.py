@@ -94,6 +94,8 @@ class EnvConfig:
     ref_motion_height_fix: float
     actuation: str
     self_collision: bool
+    matmul_bf16: bool
+    apgd_iters: int
 
     # state
     state_choices: list
@@ -201,6 +203,8 @@ def parse_env_config(cfg: dict, project_dir: Optional[str] = None) -> EnvConfig:
             first(char.get("ref_motion_height_fix"), 0.0)),
         actuation=physics.get("actuation", "spd"),
         self_collision=bool(physics.get("self_collision", True)),
+        matmul_bf16=bool(physics.get("matmul_bf16", True)),
+        apgd_iters=int(physics.get("apgd_iters", 16)),
         state_choices=list(state.get("choices", ["body", "ref_motion_abs"])),
         state_body_type=state.get("body_type", "facing_R6_h"),
         sensor_lookahead=list(state.get("sensor_lookahead", [0.05, 0.15])),

@@ -66,7 +66,8 @@ class ImitationEnv:
         self.cfg = cfg
         params = model_mod.SimParams(
             fps_sim=cfg.fps_sim, fps_con=cfg.fps_con,
-            actuation=cfg.actuation, self_collision=cfg.self_collision)
+            actuation=cfg.actuation, self_collision=cfg.self_collision,
+            matmul_bf16=cfg.matmul_bf16, apgd_iters=cfg.apgd_iters)
         cm = load_urdf(cfg.sim_char_file)
         ci = load_char_info(cfg.char_info_file)
         from ..kinematics.char_info import apply_contactable_body

@@ -55,7 +55,8 @@ def select_contacts(model: PhysicsModel, x, depth, margin=0.0):
     active = d > -margin
     pos = jnp.take_along_axis(x, idx[..., None], axis=-2)
     body = jnp.asarray(model.point_body)[idx]
-    return Contacts(pos=pos, depth=d, active=active, body=body, point_idx=idx)
+    return Contacts(pos=pos, depth=d, active=active, body=body,
+                    point_idx=idx)
 
 
 def contact_jacobian(model: PhysicsModel, k_fk, contacts: Contacts):
@@ -118,9 +119,18 @@ def solve_contacts(model: PhysicsModel, Minv, J, v_pred, contacts: Contacts,
     nv = model.nv
     batch = v_pred.shape[:-1]
 
+    f32 = v_pred.dtype
+    bf16 = p.matmul_bf16
+
+    def mm(sub, a, b):
+        if bf16:
+            a = a.astype(jnp.bfloat16)
+            b = b.astype(jnp.bfloat16)
+        return jnp.einsum(sub, a, b, preferred_element_type=f32)
+
     Jf = J.reshape(batch + (K * 3, nv))
-    W = jnp.einsum("...ij,...kj->...ik", Minv, Jf)            # (...,nv,3K)
-    A = jnp.einsum("...ik,...kj->...ij", Jf, W)               # (...,3K,3K)
+    W = mm("...ij,...kj->...ik", Minv, Jf)                    # (...,nv,3K)
+    A = mm("...ik,...kj->...ij", Jf, W)                       # (...,3K,3K)
     A = A.reshape(batch + (K, 3, K, 3))
 
     up = jnp.asarray(model.v_up_env, dtype=v_pred.dtype)
@@ -167,10 +177,14 @@ def solve_contacts(model: PhysicsModel, Minv, J, v_pred, contacts: Contacts,
     # Gershgorin bound on lambda_max(A) for the 1/L step size.
     L = jnp.max(jnp.sum(jnp.abs(Af), axis=-1), axis=-1)
     inv_L = 1.0 / jnp.maximum(L, 1e-8)
+    Af_mv = Af.astype(jnp.bfloat16) if bf16 else Af
 
     def mv(lam):
-        return jnp.einsum("...ij,...j->...i",
-                          Af, lam.reshape(batch + (K * 3,))
+        lam = lam.reshape(batch + (K * 3,))
+        if bf16:
+            lam = lam.astype(jnp.bfloat16)
+        return jnp.einsum("...ij,...j->...i", Af_mv, lam,
+                          preferred_element_type=f32
                           ).reshape(batch + (K, 3))
 
     def apgd_iter(carry, _):
@@ -187,6 +201,5 @@ def solve_contacts(model: PhysicsModel, Minv, J, v_pred, contacts: Contacts,
         length=p.apgd_iters)
 
     # delta_v = M^-1 J^T lam = W lam
-    delta_v = jnp.einsum("...nk,...k->...n", W,
-                         lam.reshape(batch + (K * 3,)))
+    delta_v = mm("...nk,...k->...n", W, lam.reshape(batch + (K * 3,)))
     return delta_v, lam

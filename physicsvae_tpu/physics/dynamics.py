@@ -44,19 +44,63 @@ def motion_subspace(model: PhysicsModel, k: FKResult, origin):
 
 
 def spatial_inertia(model: PhysicsModel, k: FKResult, origin):
-    """I: (...,NB,6,6) spatial inertia of each body about `origin`."""
+    """I: (...,NB,6,6) spatial inertia of each body about `origin`.
+
+    Fully unrolled component arithmetic — every term is an elementwise op
+    over (..., NB), assembled by ONE stack at the end.  The einsum/skew
+    formulation relayouts (...,NB,3,3) tensors repeatedly (minor dims of 3
+    waste 125/128 TPU lanes per op); this section profiled ~11% of the
+    substep before the rewrite (r2 device trace, dynamics.py:25/51-54).
+    """
+    import numpy as np
+
     m = jnp.asarray(model.mass)                       # (NB,)
-    R = quat.to_matrix(k.body_q)                      # (...,NB,3,3)
-    I_l = jnp.asarray(model.inertia)                  # (NB,3,3)
-    I_c = jnp.einsum("...kij,kjl,...kml->...kim", R, I_l, R)
-    cx = _skew(k.body_com - origin[..., None, :])     # (...,NB,3,3)
-    mcx = m[:, None, None] * cx
-    top_left = I_c + jnp.einsum("...kij,...klj->...kil", mcx, cx)  # Ic + m cx cx^T
-    eye = jnp.broadcast_to(jnp.eye(3), cx.shape)
-    bottom_right = m[:, None, None] * eye
-    top = jnp.concatenate([top_left, mcx], axis=-1)
-    bottom = jnp.concatenate([-mcx, bottom_right], axis=-1)  # m cx^T = -m cx
-    return jnp.concatenate([top, bottom], axis=-2)
+    x = k.body_q[..., 0]
+    y = k.body_q[..., 1]
+    z = k.body_q[..., 2]
+    w = k.body_q[..., 3]
+    r00 = 1 - 2 * (y * y + z * z)
+    r01 = 2 * (x * y - w * z)
+    r02 = 2 * (x * z + w * y)
+    r10 = 2 * (x * y + w * z)
+    r11 = 1 - 2 * (x * x + z * z)
+    r12 = 2 * (y * z - w * x)
+    r20 = 2 * (x * z - w * y)
+    r21 = 2 * (y * z + w * x)
+    r22 = 1 - 2 * (x * x + y * y)
+    R = ((r00, r01, r02), (r10, r11, r12), (r20, r21, r22))
+
+    I_l = np.asarray(model.inertia)                   # (NB,3,3) host consts
+    # Ic = R I_l R^T, unrolled (I_l rows enter as per-body constants)
+    IR = [[sum(R[a][c] * I_l[:, c, d] for c in range(3)) for d in range(3)]
+          for a in range(3)]
+    Ic = [[sum(IR[a][d] * R[b][d] for d in range(3)) for b in range(3)]
+          for a in range(3)]
+
+    c = k.body_com - origin[..., None, :]
+    c0, c1, c2 = c[..., 0], c[..., 1], c[..., 2]
+    cs = (c0, c1, c2)
+    cc = c0 * c0 + c1 * c1 + c2 * c2
+    zero = jnp.zeros_like(c0 + m)
+
+    # top-left = Ic + m*(|c|^2 I - c c^T)   (= Ic + m cx cx^T)
+    TL = [[Ic[a][b] + m * ((cc if a == b else 0.0) - cs[a] * cs[b])
+           for b in range(3)] for a in range(3)]
+    # mcx = m * skew(c)
+    SK = ((zero, -c2, c1), (c2, zero, -c0), (-c1, c0, zero))
+    MC = [[m * SK[a][b] for b in range(3)] for a in range(3)]
+    # bottom-right = m * I3
+    BR = [[m + zero if a == b else zero for b in range(3)]
+          for a in range(3)]
+
+    rows = []
+    for a in range(3):
+        rows += [TL[a][0], TL[a][1], TL[a][2], MC[a][0], MC[a][1], MC[a][2]]
+    for a in range(3):
+        rows += [-MC[a][0], -MC[a][1], -MC[a][2], BR[a][0], BR[a][1], BR[a][2]]
+    flat = jnp.stack([jnp.broadcast_to(r, zero.shape) for r in rows],
+                     axis=-1)
+    return flat.reshape(flat.shape[:-1] + (6, 6))
 
 
 def spatial_velocity(k: FKResult, origin):

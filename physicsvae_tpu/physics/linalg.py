@@ -21,16 +21,31 @@ def spd_inverse(M):
     return jax.scipy.linalg.cho_solve((L, True), eye)
 
 
-def ns_refine(M, X, iters: int = 2):
+def ns_refine(M, X, iters: int = 2, bf16: bool = False):
     """Newton–Schulz refinement X <- X(2I - MX) toward M^-1.
 
     Converges quadratically when ||I - MX|| < 1, which holds when X is the
     inverse from the previous substep (M changes O(dt) per 1/480 s substep).
     Symmetrized every iteration to stay SPD.
+
+    bf16: inputs in bfloat16 with f32 accumulation — halves the HBM traffic
+    of the two (B,NV,NV) matmuls.  The refinement floor rises to the bf16
+    epsilon (~4e-3 relative), which stays well inside the NS contraction
+    region, so stability is unaffected; the residual acts like a slightly
+    larger solver tolerance.
     """
+    f32 = X.dtype
+
+    def mm(a, b):
+        if bf16:
+            a = a.astype(jnp.bfloat16)
+            b = b.astype(jnp.bfloat16)
+        return jnp.einsum("...ij,...jk->...ik", a, b,
+                          preferred_element_type=f32)
+
     for _ in range(iters):
-        MX = jnp.einsum("...ij,...jk->...ik", M, X)
-        X = 2.0 * X - jnp.einsum("...ij,...jk->...ik", X, MX)
+        MX = mm(M, X)
+        X = 2.0 * X - mm(X, MX)
         X = 0.5 * (X + jnp.swapaxes(X, -1, -2))
     return X
 

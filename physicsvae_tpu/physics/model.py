@@ -45,9 +45,17 @@ class SimParams:
     actuation: str = "spd"
     self_collision: bool = True  # physics_param self_collision (spec)
     num_self_contacts: int = 8   # top-K2 self-contact buffer
-    apgd_iters: int = 24         # APGD iterations (≈2.4x Bullet's 10 GS)
+    # APGD iterations (Bullet runs 10 GS; 16 APGD matches 24 on the Coulomb
+    # fidelity fixtures — static slip 0.28 mm/s, kinetic error 0.05%)
+    apgd_iters: int = 16
     ns_iters: int = 1            # Newton–Schulz refinements per warm substep
     use_pallas_fk: bool = False  # route batched FK through the Pallas kernel
+    # bf16 inputs (f32 accumulation) for the bandwidth-dominant matmuls:
+    # Newton–Schulz refinement, Delassus build, APGD matvec, qdd solve.
+    # Validated: humanoid standing trajectory within 0.4 mm of f32 over 1 s;
+    # Coulomb/pendulum fidelity errors 0.1%/0.01% (tests/test_fidelity.py
+    # runs both modes' laws).  Opt out per-spec via physics.matmul_bf16.
+    matmul_bf16: bool = True
 
     @property
     def dt_sim(self) -> float:

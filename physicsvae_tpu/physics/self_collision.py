@@ -115,15 +115,16 @@ def detect_self_contacts(model: PhysicsModel, k_fk):
     bi = pairs[:, 0]
     bj = pairs[:, 1]
 
-    def world(cap_pt, bodies):
-        q = k_fk.body_q[..., bodies, :]
-        p = k_fk.body_p[..., bodies, :]
-        return p + quat.rotate(q, cap_pt[bodies])
-
-    a1 = world(cap_a, bi)
-    b1 = world(cap_b, bi)
-    a2 = world(cap_a, bj)
-    b2 = world(cap_b, bj)
+    # World capsule endpoints PER BODY (NB=25), then two coalesced
+    # per-pair gathers — not per-pair rotations (the old path rotated 4x263
+    # vectors; 10x the flops and 4 tiny-minor-dim gathers).
+    wa = k_fk.body_p + quat.rotate(k_fk.body_q, cap_a)
+    wb = k_fk.body_p + quat.rotate(k_fk.body_q, cap_b)
+    ab = jnp.concatenate([wa, wb], axis=-1)              # (...,NB,6)
+    fi = ab[..., bi, :]
+    fj = ab[..., bj, :]
+    a1, b1 = fi[..., 0:3], fi[..., 3:6]
+    a2, b2 = fj[..., 0:3], fj[..., 3:6]
 
     x1, x2 = segment_closest_points(a1, b1, a2, b2)
     d = x1 - x2
@@ -135,10 +136,12 @@ def detect_self_contacts(model: PhysicsModel, k_fk):
     K2 = model.params.num_self_contacts
     dd, idx = jax.lax.top_k(depth, K2)
 
-    def take_vec(arr):
-        return jnp.take_along_axis(arr, idx[..., None], axis=-2)
-
-    return (take_vec(pos), take_vec(normal), dd, bi[idx], bj[idx])
+    # ONE coalesced gather of all per-pair features instead of separate
+    # vec3 take_along_axis calls (tiny-minor-dim gathers dominated the
+    # self-collision cost in the r2 device trace).
+    feats = jnp.concatenate([pos, normal], axis=-1)      # (...,P,6)
+    sel = jnp.take_along_axis(feats, idx[..., None], axis=-2)
+    return (sel[..., 0:3], sel[..., 3:6], dd, bi[idx], bj[idx])
 
 
 def pair_jacobian(model: PhysicsModel, k_fk, pos, body_i, body_j):

@@ -180,6 +180,15 @@ def servo_delta_v(model: PhysicsModel, state: SimState, action: Action,
     return jnp.einsum("...ij,...j->...i", Minv, imp)
 
 
+def _bf16_inverse_ok(model: PhysicsModel) -> bool:
+    """bf16 Newton–Schulz refinement (and the bf16-carried inverse) is only
+    safe for stable-PD: its implicit dt*kd diagonal conditions M_hat enough
+    that the refinement contracts despite bf16 rounding.  The barely-damped
+    M_hat of pd/cpd/cp/v/tq/none modes diverges under bf16 NS (observed as
+    NaN within ~50 substeps), so those keep an f32 inverse."""
+    return model.params.matmul_bf16 and model.params.actuation == "spd"
+
+
 def _damped_mass_matrix(model: PhysicsModel, M, dt):
     """LHS damping: stable-PD puts kd on the diagonal (the implicit term that
     makes kp=500 stable at 480 Hz); every mode gets the URDF joint damping."""
@@ -209,7 +218,8 @@ def substep(model: PhysicsModel, state: SimState, action: Action,
     if Minv is None:
         Minv = spd_inverse(M_hat)
     else:
-        Minv = ns_refine(M_hat, Minv, iters=p.ns_iters)
+        Minv = ns_refine(M_hat, Minv, iters=p.ns_iters,
+                         bf16=_bf16_inverse_ok(model))
 
     mode = p.actuation
     if mode == "spd":
@@ -218,7 +228,12 @@ def substep(model: PhysicsModel, state: SimState, action: Action,
         tau = pd_torque(model, state, action)
     else:  # cpd / cp / v / tq / none: motor handled below or absent
         tau = _aux_tau(model, state, action)
-    qdd = jnp.einsum("...ij,...j->...i", Minv, tau - c)
+    if p.matmul_bf16:
+        qdd = jnp.einsum("...ij,...j->...i", Minv.astype(jnp.bfloat16),
+                         (tau - c).astype(jnp.bfloat16),
+                         preferred_element_type=state.vel.dtype)
+    else:
+        qdd = jnp.einsum("...ij,...j->...i", Minv, tau - c)
     v_pred = state.vel + dt * qdd
     if mode in ("cpd", "cp", "v"):
         v_pred = v_pred + servo_delta_v(model, state, action, v_pred, Minv,
@@ -289,13 +304,19 @@ def control_step(model: PhysicsModel, state: SimState, action: Action,
     state, Minv, obstacles2 = substep(model, state, action, None,
                                       ground_height, obstacles)
 
+    # With bf16 matmuls on, the warm-started inverse is also CARRIED in bf16
+    # (it is consumed as a bf16 matmul input anyway), halving the biggest
+    # loop-carried buffer's copy traffic.  Gated to spd (_bf16_inverse_ok).
+    def cast_carry(Mi):
+        return Mi.astype(jnp.bfloat16) if _bf16_inverse_ok(model) else Mi
+
     def body(carry, _):
         st, Mi, ob = carry
         st, Mi, ob = substep(model, st, action, Mi, ground_height, ob)
-        return (st, Mi, ob), None
+        return (st, cast_carry(Mi), ob), None
 
     (state, _, obstacles2), _ = jax.lax.scan(
-        body, (state, Minv, obstacles2), None,
+        body, (state, cast_carry(Minv), obstacles2), None,
         length=model.params.num_substeps - 1)
     if obstacles is None:
         return state

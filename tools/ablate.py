@@ -69,6 +69,10 @@ def main():
         ("K8", {"num_contacts": 8}, args.batch),
         ("apgd12", {"apgd_iters": 12}, args.batch),
         ("selfK4", {"num_self_contacts": 4}, args.batch),
+        ("bf16", {"matmul_bf16": True}, args.batch),
+        ("bf16_B4096", {"matmul_bf16": True}, 4096),
+        ("bf16_apgd12_selfK4", {"matmul_bf16": True, "apgd_iters": 12,
+                                "num_self_contacts": 4}, args.batch),
     ]
     if args.only:
         names = set(args.only.split(","))

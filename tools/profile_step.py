@@ -48,6 +48,9 @@ def parse_trace(logdir):
     log(f"processes: {pid_names}")
     tot = defaultdict(float)
     cnt = defaultdict(int)
+    by_src = defaultdict(float)
+    by_cat = defaultdict(float)
+    bytes_src = defaultdict(float)
     total_dur = 0.0
     for e in events:
         if e.get("ph") != "X":
@@ -55,14 +58,30 @@ def parse_trace(logdir):
         if dev_pids and e.get("pid") not in dev_pids:
             continue
         name = e.get("name", "?")
+        a = e.get("args") or {}
+        cat = a.get("hlo_category", "?")
+        if cat in ("while", "?") and name.startswith(("jit_", "while")):
+            continue  # container ops double-count their bodies
         dur = e.get("dur", 0) / 1e3  # us -> ms
         tot[name] += dur
         cnt[name] += 1
         total_dur += dur
+        src = a.get("source", "?")
+        # strip the common prefix for readability
+        src = src.replace("/root/repo/physicsvae_tpu/", "")
+        by_src[src] += dur
+        by_cat[cat] += dur
+        bytes_src[src] += float(a.get("bytes_accessed", 0))
+    print(f"\n=== by hlo_category (ms) ===")
+    for k, ms in sorted(by_cat.items(), key=lambda kv: -kv[1])[:15]:
+        print(f"{ms:10.2f} ms  {k}")
+    print(f"\n=== by source line (ms, GB accessed) — total "
+          f"{total_dur:.1f} ms ===")
+    for k, ms in sorted(by_src.items(), key=lambda kv: -kv[1])[:40]:
+        print(f"{ms:10.2f} ms {bytes_src[k]/1e9:8.2f} GB  {k}")
     items = sorted(tot.items(), key=lambda kv: -kv[1])
-    print(f"\n=== device op totals (ms) — {len(items)} distinct, "
-          f"{total_dur:.1f} ms total ===")
-    for name, ms in items[:60]:
+    print(f"\n=== device op totals (ms) — {len(items)} distinct ===")
+    for name, ms in items[:25]:
         print(f"{ms:10.2f} ms  x{cnt[name]:<6} {name[:110]}")
 
 
