@@ -52,7 +52,8 @@ class TrackingEnv:
                  heightmap: Optional[Heightmap] = None,
                  ground_size=(100.0, 100.0, 10.0),
                  falldown_method: str = "height",
-                 falldown_height_min: float = 0.3):
+                 falldown_height_min: float = 0.3,
+                 num_agent: int = 1):
         ci = load_char_info(char_info_file)
         cm = load_urdf(sim_char_file)
         params = model_mod.SimParams(fps_sim=fps_sim, fps_con=fps_con)
@@ -64,6 +65,12 @@ class TrackingEnv:
         self.falldown_method = falldown_method
         self.falldown_height_min = falldown_height_min
         self.dt_con = 1.0 / fps_con
+        # num_agent > 1: characters share ONE world and physically interact
+        # through the coupled inter-agent contact solve
+        # (envs/env_humanoid_tracking.py:181-209; physics/multi_agent.py).
+        # reset() then expects agent-stacked (N,...) pose arrays, and
+        # obstacles are per-scene (not yet coupled in multi-agent scenes).
+        self.num_agent = num_agent
 
     # -- lifecycle -------------------------------------------------------
 
@@ -87,8 +94,17 @@ class TrackingEnv:
         update (envs/env_humanoid_tracking.py:375-413)."""
         action = action if action is not None else step_mod.hold_action(
             self.model, st.sim.batch_shape)
-        sim, obstacles = step_mod.control_step(self.model, st.sim, action,
-                                               obstacles=st.obstacles)
+        if self.num_agent > 1:
+            from ..physics import multi_agent
+            from ..physics import obstacles as _obs
+            sim = multi_agent.scene_step(self.model, st.sim, action)
+            g = self.model.params.gravity * jnp.asarray(self.model.v_up_env)
+            obstacles = _obs.update(st.obstacles, self.dt_con, g,
+                                    v_up=self.model.v_up_env)
+        else:
+            sim, obstacles = step_mod.control_step(self.model, st.sim,
+                                                   action,
+                                                   obstacles=st.obstacles)
         return TrackingState(
             sim=sim, obstacles=obstacles,
             elapsed=st.elapsed + self.dt_con,

@@ -50,10 +50,12 @@ def detect_ground(model: PhysicsModel, x, ground=0.0):
 
 def select_contacts(model: PhysicsModel, x, depth, margin=0.0):
     """Top-K deepest candidates as a fixed-size contact set."""
+    from .linalg import onehot_take, topk_argmax
+
     K = min(model.params.num_contacts, depth.shape[-1])
-    d, idx = jax.lax.top_k(depth, K)
+    d, idx = topk_argmax(depth, K)
     active = d > -margin
-    pos = jnp.take_along_axis(x, idx[..., None], axis=-2)
+    pos = onehot_take(x, idx)
     body = jnp.asarray(model.point_body)[idx]
     return Contacts(pos=pos, depth=d, active=active, body=body,
                     point_idx=idx)
@@ -103,7 +105,7 @@ def _inv3(m):
 
 
 def solve_contacts(model: PhysicsModel, Minv, J, v_pred, contacts: Contacts,
-                   dt, normals=None, mu=None):
+                   dt, normals=None, mu=None, lam_warm=None):
     """Cone-constrained contact impulse solve (APGD).
 
     Minv: explicit inverse of the damped mass matrix, (...,NV,NV).
@@ -112,6 +114,9 @@ def solve_contacts(model: PhysicsModel, Minv, J, v_pred, contacts: Contacts,
     mu: (...,K) per-contact friction; None -> params.mu everywhere (Bullet
     multiplies the two bodies' coefficients, so char-char contacts get
     mu_char^2 while char-ground gets mu_char * mu_ground).
+    lam_warm: optional (...,K,3) impulse warm start from the previous
+    substep (Bullet warm-starts its sequential impulses the same way);
+    with it, half the APGD iterations reach the same solution quality.
     Returns (delta_v (...,NV), impulses (...,K,3)).
     """
     p = model.params
@@ -195,10 +200,17 @@ def solve_contacts(model: PhysicsModel, Minv, J, v_pred, contacts: Contacts,
         y_new = lam_new + ((t - 1.0) / t_new) * (lam_new - lam)
         return (lam_new, y_new, t_new), None
 
-    lam0 = jnp.zeros(batch + (K, 3), dtype=v_pred.dtype)
+    if lam_warm is None:
+        lam0 = jnp.zeros(batch + (K, 3), dtype=v_pred.dtype)
+        iters = p.apgd_iters
+    else:
+        # project the carried impulse (the active set / cone may have
+        # changed since last substep)
+        lam0 = project(lam_warm)
+        iters = p.apgd_warm_iters
     (lam, _, _), _ = jax.lax.scan(
         apgd_iter, (lam0, lam0, jnp.asarray(1.0, v_pred.dtype)), None,
-        length=p.apgd_iters)
+        length=iters)
 
     # delta_v = M^-1 J^T lam = W lam
     delta_v = mm("...nk,...k->...n", W, lam.reshape(batch + (K * 3,)))

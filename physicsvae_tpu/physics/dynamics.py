@@ -185,6 +185,9 @@ def bias_force(model: PhysicsModel, k: FKResult, S, I_sp, V, vel):
         Ab = A[..., par, :] + _crm(V[..., bodies, :], vJ[..., bodies, :])
         A = A.at[..., bodies, :].set(Ab)
 
+    # NOTE: these stay f32 — bf16 here breaks extreme mass ratios (a 1e6-kg
+    # quasi-static base rounds to ~4e3 absolute force error and injects
+    # energy; caught by test_pendulum_energy_conserved).
     IV = jnp.einsum("...kij,...kj->...ki", I_sp, V)
     f = jnp.einsum("...kij,...kj->...ki", I_sp, A) + _crf(V, IV)
 

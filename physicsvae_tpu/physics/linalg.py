@@ -50,6 +50,37 @@ def ns_refine(M, X, iters: int = 2, bf16: bool = False):
     return X
 
 
+def topk_argmax(x, K: int):
+    """Exact top-K via K iterated argmax sweeps.
+
+    lax.top_k lowers to a full sort on TPU (~17 ms/trace for the contact
+    selects); K cheap reduce+mask sweeps win for small K.  Returns values
+    and indices in descending order, like lax.top_k."""
+    iota = jnp.arange(x.shape[-1])
+    vals, idxs = [], []
+    cur = x
+    for _ in range(K):
+        i = jnp.argmax(cur, axis=-1)
+        vals.append(jnp.max(cur, axis=-1))
+        idxs.append(i)
+        cur = jnp.where(iota == i[..., None], -jnp.inf, cur)
+    return jnp.stack(vals, axis=-1), jnp.stack(idxs, axis=-1)
+
+
+def onehot_take(feats, idx, bf16: bool = False):
+    """Batched row gather feats[..., idx, :] as a one-hot matmul.
+
+    (...,P,F) gathered at (...,K) -> (...,K,F).  TPU gathers of tiny-minor-
+    dim rows run at ~1% of bandwidth (r2 trace); the MXU one-hot contraction
+    is much faster for small K*P."""
+    P = feats.shape[-2]
+    dtype = jnp.bfloat16 if bf16 else feats.dtype
+    oh = jax.nn.one_hot(idx, P, dtype=dtype)
+    f = feats.astype(dtype) if bf16 else feats
+    return jnp.einsum("...kp,...pf->...kf", oh, f,
+                      preferred_element_type=feats.dtype)
+
+
 def inverse_quality(M, X):
     """max ||I - MX||_inf over the batch (diagnostic)."""
     eye = jnp.eye(M.shape[-1], dtype=M.dtype)

@@ -48,6 +48,9 @@ class SimParams:
     # APGD iterations (Bullet runs 10 GS; 16 APGD matches 24 on the Coulomb
     # fidelity fixtures — static slip 0.28 mm/s, kinetic error 0.05%)
     apgd_iters: int = 16
+    # iterations when warm-started from the previous substep's impulses
+    # (Bullet warm-starts its sequential impulses the same way)
+    apgd_warm_iters: int = 8
     ns_iters: int = 1            # Newton–Schulz refinements per warm substep
     use_pallas_fk: bool = False  # route batched FK through the Pallas kernel
     # bf16 inputs (f32 accumulation) for the bandwidth-dominant matmuls:

@@ -133,14 +133,16 @@ def detect_self_contacts(model: PhysicsModel, k_fk):
     normal = d / jnp.maximum(dist[..., None], 1e-8)
     pos = 0.5 * (x1 + x2)
 
-    K2 = model.params.num_self_contacts
-    dd, idx = jax.lax.top_k(depth, K2)
+    from .linalg import onehot_take, topk_argmax
 
-    # ONE coalesced gather of all per-pair features instead of separate
-    # vec3 take_along_axis calls (tiny-minor-dim gathers dominated the
-    # self-collision cost in the r2 device trace).
+    K2 = model.params.num_self_contacts
+    dd, idx = topk_argmax(depth, K2)
+
+    # ONE coalesced one-hot-matmul gather of all per-pair features instead
+    # of separate vec3 take_along_axis calls (tiny-minor-dim gathers
+    # dominated the self-collision cost in the r2 device trace).
     feats = jnp.concatenate([pos, normal], axis=-1)      # (...,P,6)
-    sel = jnp.take_along_axis(feats, idx[..., None], axis=-2)
+    sel = onehot_take(feats, idx)
     return (sel[..., 0:3], sel[..., 3:6], dd, bi[idx], bj[idx])
 
 

@@ -199,7 +199,7 @@ def _damped_mass_matrix(model: PhysicsModel, M, dt):
 
 
 def substep(model: PhysicsModel, state: SimState, action: Action,
-            Minv=None, ground_height=0.0, obstacles=None):
+            Minv=None, ground_height=0.0, obstacles=None, lam_warm=None):
     """One physics substep at dt_sim (480 Hz for the loco config).
 
     Minv: warm-start inverse of the damped mass matrix from the previous
@@ -207,7 +207,8 @@ def substep(model: PhysicsModel, state: SimState, action: Action,
     obstacles: optional ObstacleState pool, coupled to the character and
     ballistically integrated here (the reference steps obstacle bodies in the
     same stepSimulation, envs/env_humanoid_tracking.py:393-407).
-    Returns (state, Minv, obstacles).
+    lam_warm: previous substep's contact impulses (warm start).
+    Returns (state, Minv, obstacles, lam).
     """
     p = model.params
     dt = p.dt_sim
@@ -275,8 +276,8 @@ def substep(model: PhysicsModel, state: SimState, action: Action,
         # Bullet combines friction multiplicatively: char-char = mu^2
         mu = jnp.concatenate(
             [mu, jnp.full(sd.shape, p.mu * p.mu)], axis=-1)
-    dv, _ = contacts_mod.solve_contacts(model, Minv, J, v_pred, cons, dt,
-                                        normals, mu)
+    dv, lam = contacts_mod.solve_contacts(model, Minv, J, v_pred, cons, dt,
+                                          normals, mu, lam_warm=lam_warm)
     vel = v_pred + dv
 
     # Semi-implicit Euler integration
@@ -288,7 +289,7 @@ def substep(model: PhysicsModel, state: SimState, action: Action,
         joint_q=quat.integrate(state.joint_q, om, dt),
         vel=vel,
     )
-    return new_state, Minv, obstacles
+    return new_state, Minv, obstacles, lam
 
 
 def control_step(model: PhysicsModel, state: SimState, action: Action,
@@ -301,8 +302,8 @@ def control_step(model: PhysicsModel, state: SimState, action: Action,
     Returns the new SimState, or (SimState, ObstacleState) when an obstacle
     pool is passed.
     """
-    state, Minv, obstacles2 = substep(model, state, action, None,
-                                      ground_height, obstacles)
+    state, Minv, obstacles2, lam = substep(model, state, action, None,
+                                           ground_height, obstacles)
 
     # With bf16 matmuls on, the warm-started inverse is also CARRIED in bf16
     # (it is consumed as a bf16 matmul input anyway), halving the biggest
@@ -311,12 +312,13 @@ def control_step(model: PhysicsModel, state: SimState, action: Action,
         return Mi.astype(jnp.bfloat16) if _bf16_inverse_ok(model) else Mi
 
     def body(carry, _):
-        st, Mi, ob = carry
-        st, Mi, ob = substep(model, st, action, Mi, ground_height, ob)
-        return (st, cast_carry(Mi), ob), None
+        st, Mi, ob, lm = carry
+        st, Mi, ob, lm = substep(model, st, action, Mi, ground_height, ob,
+                                 lam_warm=lm)
+        return (st, cast_carry(Mi), ob, lm), None
 
-    (state, _, obstacles2), _ = jax.lax.scan(
-        body, (state, cast_carry(Minv), obstacles2), None,
+    (state, _, obstacles2, _), _ = jax.lax.scan(
+        body, (state, cast_carry(Minv), obstacles2, lam), None,
         length=model.params.num_substeps - 1)
     if obstacles is None:
         return state

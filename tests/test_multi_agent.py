@@ -1,0 +1,130 @@
+"""Multi-agent scene tests: N characters in one world interacting through
+the coupled inter-agent contact solve (reference spawns num_agent SimAgents
+into a single Bullet world, envs/env_humanoid_tracking.py:181-209)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from physicsvae_tpu.kinematics import motion as motion_mod
+from physicsvae_tpu.kinematics.char_info import load_char_info
+from physicsvae_tpu.physics import model as model_mod
+from physicsvae_tpu.physics import multi_agent
+from physicsvae_tpu.physics import state as state_mod
+from physicsvae_tpu.physics import step as step_mod
+from physicsvae_tpu.physics import fk as fk_mod
+
+CHAR_INFO = "/root/reference/data/character/info/loco_char_info.py"
+BVH_HIER = "/root/reference/data/motion/loco/loco_hierarchy.bvh"
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = model_mod.load_loco_model(
+        params=model_mod.SimParams(self_collision=False))
+    char = load_char_info(CHAR_INFO)
+    m = motion_mod.from_bvh_file(BVH_HIER, char)
+    root_p, root_q, joint_q = motion_mod.pose_at_time(m, 0.0)
+    return model, root_p, root_q, joint_q
+
+
+def _pair_state(model, root_p, root_q, joint_q, dx, h=3.0):
+    mk = lambda off: state_mod.from_pose(
+        model, root_p.at[1].set(h) + jnp.asarray([off, 0.0, 0.0]),
+        root_q, joint_q)
+    return jax.tree.map(lambda *x: jnp.stack(x), mk(0.0), mk(dx))
+
+
+def test_far_agents_match_single(setup):
+    """Non-interacting agents step exactly like independent characters."""
+    model, root_p, root_q, joint_q = setup
+    sts = _pair_state(model, root_p, root_q, joint_q, dx=5.0)
+    act1 = step_mod.Action(target_q=joint_q,
+                           target_w=jnp.zeros((model.num_joints, 3)))
+    acts = jax.tree.map(lambda x: jnp.stack([x, x]), act1)
+    out = multi_agent.scene_step(model, sts, acts)
+    single = step_mod.control_step(
+        model, jax.tree.map(lambda x: x[0], sts), act1)
+    # scene_step carries the warm inverse in f32 while control_step carries
+    # it in bf16 (when matmul_bf16) — trajectories agree to rounding
+    assert np.allclose(np.asarray(out.vel[0]), np.asarray(single.vel),
+                       atol=5e-3)
+    assert np.allclose(np.asarray(out.root_p[0]), np.asarray(single.root_p),
+                       atol=1e-4)
+
+
+def test_overlapping_agents_push_apart(setup):
+    """Two interpenetrating characters separate with opposite velocities."""
+    model, root_p, root_q, joint_q = setup
+    sts = _pair_state(model, root_p, root_q, joint_q, dx=0.12)
+    act1 = step_mod.Action(target_q=joint_q,
+                           target_w=jnp.zeros((model.num_joints, 3)))
+    acts = jax.tree.map(lambda x: jnp.stack([x, x]), act1)
+    out = multi_agent.scene_step(model, sts, acts)
+    # pushed apart along x with opposite velocities after one control step
+    sep0 = float(sts.root_p[1, 0] - sts.root_p[0, 0])
+    sep1 = float(out.root_p[1, 0] - out.root_p[0, 0])
+    assert sep1 > sep0 + 0.01, (sep0, sep1)
+    assert float(out.vel[0, 0]) < -0.01
+    assert float(out.vel[1, 0]) > 0.01
+
+
+def test_coupled_impulse_newton_third_law(setup):
+    """A single coupled contact solve transfers momentum exactly equal and
+    opposite along the contact normal.  (Over a full control step the
+    implicitly damped mass matrix leaks a small phantom momentum — the same
+    operator-splitting artifact as Bullet's implicit joint damping — so
+    Newton's third law is asserted where it is exact: per solve.)"""
+    from physicsvae_tpu.physics.dynamics import dynamics_terms
+    from physicsvae_tpu.physics.linalg import spd_inverse
+    from physicsvae_tpu.physics.state import SimState
+    from physicsvae_tpu.physics.step import _damped_mass_matrix
+
+    model, root_p, root_q, joint_q = setup
+    sts = _pair_state(model, root_p, root_q, joint_q, dx=0.12)
+    s0 = jax.tree.map(lambda x: x[0], sts)
+    s1 = jax.tree.map(lambda x: x[1], sts)
+    k0, k1 = fk_mod.fk(model, s0), fk_mod.fk(model, s1)
+    dt = model.params.dt_sim
+
+    def minv(s, k):
+        _, M, _ = dynamics_terms(model, s, k)
+        return spd_inverse(_damped_mass_matrix(model, M, dt))
+
+    con = multi_agent.detect_agent_contacts(model, k0, k1, 8)
+    assert float(con.depth.max()) > 0.0   # overlap detected
+    dv0, dv1 = multi_agent.solve_agent_contacts(
+        model, minv(s0, k0), minv(s1, k1), k0, k1, s0.vel, s1.vel, con, dt)
+
+    m = jnp.asarray(model.mass)
+
+    def dp(s, k, dv):
+        k2 = fk_mod.fk(model, SimState(s.root_p, s.root_q, s.joint_q,
+                                       s.vel + dv))
+        return np.asarray(jnp.sum(m[:, None] * (k2.body_vcom - k.body_vcom),
+                                  axis=-2))
+
+    dp0 = dp(s0, k0, dv0)
+    dp1 = dp(s1, k1, dv1)
+    # normal here is x: exact cancellation along it, and a real kick
+    assert abs(dp0[0]) > 1.0
+    assert abs(dp0[0] + dp1[0]) < 1e-3 * abs(dp0[0])
+
+
+def test_tracking_env_multi_agent():
+    """TrackingEnv(num_agent=2) end-to-end step."""
+    from physicsvae_tpu.env.tracking import TrackingEnv
+    env = TrackingEnv(CHAR_INFO,
+                      "/root/reference/data/character/urdf/loco.urdf",
+                      num_agent=2)
+    char = load_char_info(CHAR_INFO)
+    m = motion_mod.from_bvh_file(BVH_HIER, char)
+    root_p, root_q, joint_q = motion_mod.pose_at_time(m, 0.0)
+    st = env.reset(
+        jnp.stack([root_p.at[1].set(0.95),
+                   root_p.at[1].set(0.95) + jnp.asarray([2.0, 0.0, 0.0])]),
+        jnp.stack([root_q, root_q]), jnp.stack([joint_q, joint_q]))
+    st = env.step(st)
+    assert st.sim.root_p.shape == (2, 3)
+    assert np.isfinite(np.asarray(st.sim.vel)).all()
+    assert not bool(env.check_falldown(st).any())
