@@ -114,9 +114,17 @@ def build_custom_policy(args, spec: dict, env):
     def try_load(path, fn, what):
         if os.path.exists(full(path)):
             return fn(full(path))
-        print(f"WARNING: {what} weights not found at {full(path)}; "
-              "continuing with fresh init")
-        return None
+        # A typo'd spec path must not silently train/eval with random
+        # weights (matches the reference's torch.load FileNotFoundError,
+        # rllib_model_torch.py:707-727).  Opt out per-spec only.
+        if cmc.get("allow_missing_weights"):
+            print(f"WARNING: {what} weights not found at {full(path)}; "
+                  "continuing with fresh init (allow_missing_weights)")
+            return None
+        raise FileNotFoundError(
+            f"{what} weights not found at {full(path)} (spec-declared "
+            "load path; set custom_model_config.allow_missing_weights "
+            "to continue with fresh init)")
 
     if cmc.get("load_weights"):
         loaded = try_load(cmc["load_weights"],

@@ -94,16 +94,22 @@ class TrackingEnv:
         update (envs/env_humanoid_tracking.py:375-413)."""
         action = action if action is not None else step_mod.hold_action(
             self.model, st.sim.batch_shape)
+        # Contacts resolve against the configured terrain, not flat 0.0
+        # (ImitationEnv threads its ground the same way).
+        ground = self.heightmap if self.heightmap is not None else 0.0
         if self.num_agent > 1:
             from ..physics import multi_agent
             from ..physics import obstacles as _obs
-            sim = multi_agent.scene_step(self.model, st.sim, action)
+            sim = multi_agent.scene_step(self.model, st.sim, action,
+                                         ground_height=ground)
             g = self.model.params.gravity * jnp.asarray(self.model.v_up_env)
             obstacles = _obs.update(st.obstacles, self.dt_con, g,
-                                    v_up=self.model.v_up_env)
+                                    v_up=self.model.v_up_env,
+                                    ground_height=ground)
         else:
             sim, obstacles = step_mod.control_step(self.model, st.sim,
                                                    action,
+                                                   ground_height=ground,
                                                    obstacles=st.obstacles)
         return TrackingState(
             sim=sim, obstacles=obstacles,

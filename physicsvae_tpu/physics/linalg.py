@@ -33,20 +33,25 @@ def ns_refine(M, X, iters: int = 2, bf16: bool = False):
     epsilon (~4e-3 relative), which stays well inside the NS contraction
     region, so stability is unaffected; the residual acts like a slightly
     larger solver tolerance.
+
+    Accumulation is always f32 even when the carried X is bf16 (the warm-
+    start inverse is stored bf16 on the spd+bf16 path); the 2X-XMX update
+    and symmetrization run in f32 and the result is cast back to X.dtype.
     """
-    f32 = X.dtype
+    out_dtype = X.dtype
+    acc = jnp.float32
 
     def mm(a, b):
         if bf16:
             a = a.astype(jnp.bfloat16)
             b = b.astype(jnp.bfloat16)
         return jnp.einsum("...ij,...jk->...ik", a, b,
-                          preferred_element_type=f32)
+                          preferred_element_type=acc)
 
     for _ in range(iters):
         MX = mm(M, X)
-        X = 2.0 * X - mm(X, MX)
-        X = 0.5 * (X + jnp.swapaxes(X, -1, -2))
+        X = 2.0 * X.astype(acc) - mm(X, MX)
+        X = (0.5 * (X + jnp.swapaxes(X, -1, -2))).astype(out_dtype)
     return X
 
 

@@ -282,11 +282,20 @@ class PPOTrainer:
         done = traj["done"]
         n_done = jnp.sum(done)
         metrics["episodes_this_iter"] = int(n_done)
-        denom = jnp.maximum(n_done, 1)
-        metrics["episode_reward_mean"] = float(
-            jnp.sum(jnp.where(done, traj["ep_return"], 0.0)) / denom)
-        metrics["episode_len_mean"] = float(
-            jnp.sum(jnp.where(done, traj["ep_length"], 0.0)) / denom)
+        if int(n_done) > 0:
+            metrics["episode_reward_mean"] = float(
+                jnp.sum(jnp.where(done, traj["ep_return"], 0.0)) / n_done)
+            metrics["episode_len_mean"] = float(
+                jnp.sum(jnp.where(done, traj["ep_length"], 0.0)) / n_done)
+        else:
+            # rllib carries the running mean rather than reporting a spurious
+            # 0.0 "collapse" when no episode completed this rollout.
+            metrics["episode_reward_mean"] = getattr(
+                self, "_last_ep_rew_mean", float("nan"))
+            metrics["episode_len_mean"] = getattr(
+                self, "_last_ep_len_mean", float("nan"))
+        self._last_ep_rew_mean = metrics["episode_reward_mean"]
+        self._last_ep_len_mean = metrics["episode_len_mean"]
         metrics["step_reward_mean"] = float(jnp.mean(traj["reward"]))
         metrics["timesteps_total"] = self.timesteps_total
         return env_state, obs, metrics
