@@ -221,8 +221,44 @@ def _load_policy(args, env):
                     "constants": variables.get("constants", {})}
 
 
+def _export_video(env, traj, out_path, kin_traj=None):
+    """Render recorded sim poses to MP4/GIF/PNG (the TinyRenderer /
+    getCameraImage replacement, env_renderer.py:141-161).
+
+    traj: list of (root_p, root_q, joint_q) numpy tuples.
+    kin_traj: optional same-shaped list for the kinematic twin overlay.
+    """
+    import jax.numpy as jnp
+    from .physics import fk as fk_mod
+    from .physics import state as state_mod
+    from .runtime.render import render_rollout
+
+    def fk_seq(tr):
+        root_p = jnp.asarray(np.stack([t[0] for t in tr]))
+        root_q = jnp.asarray(np.stack([t[1] for t in tr]))
+        joint_q = jnp.asarray(np.stack([t[2] for t in tr]))
+        sim = state_mod.from_pose(env.model, root_p, root_q, joint_q)
+        k = jax.jit(lambda s: fk_mod.fk(env.model, s))(sim)
+        return np.asarray(k.body_q), np.asarray(k.body_p)
+
+    q_seq, p_seq = fk_seq(traj)
+    kin = fk_seq(kin_traj) if kin_traj else None
+    hm = getattr(env, "ground", None)
+    hm = hm if hasattr(hm, "height_at") else None
+    out = render_rollout(env.cm, q_seq, p_seq, out_path,
+                         fps=int(env.cfg.fps_con), heightmap=hm,
+                         v_up=int(np.argmax(np.abs(env.model.v_up_env))),
+                         kin_seq=kin)
+    print("rendered:", out)
+    return out
+
+
+_VIDEO_EXT = (".mp4", ".gif", ".png")
+
+
 def mode_load(args):
-    """Headless runtime: roll episodes, print rewards, export trajectory."""
+    """Headless runtime: roll episodes, print rewards, export trajectory
+    (BVH) or a rendered clip (MP4/GIF/PNG)."""
     import jax.numpy as jnp
     from .runtime.export import export_bvh
     from .kinematics.bvh import load_bvh
@@ -245,9 +281,16 @@ def mode_load(args):
         runner.policy_eval_method = args.eval_method
         for ep in range(args.num_episodes):
             runner.reset()
-            rews = runner.run_episode(max_steps=env.cfg.fps_con * 30)
+            record = bool(args.output
+                          and args.output.endswith(_VIDEO_EXT))
+            out = runner.run_episode(
+                max_steps=env.cfg.fps_con * 30, record=record)
+            rews, traj = out if record else (out, None)
             print(f"episode {ep} ({args.eval_method}): len={len(rews)} "
                   f"mean_rew={np.mean(rews):.3f}")
+            if record and traj:
+                base, ext = args.output.rsplit(".", 1)
+                _export_video(env, traj, f"{base}_ep{ep}.{ext}")
         return
 
     policy, variables = _load_policy(args, env)
@@ -277,7 +320,10 @@ def mode_load(args):
             if bool(done):
                 break
         print(f"episode {ep}: len={len(rews)} mean_rew={np.mean(rews):.3f}")
-        if args.output:
+        if args.output and args.output.endswith(_VIDEO_EXT):
+            base, ext = args.output.rsplit(".", 1)
+            _export_video(env, traj, f"{base}_ep{ep}.{ext}")
+        elif args.output:
             root_p = np.stack([t[0] for t in traj])
             root_q = np.stack([t[1] for t in traj])
             joint_q = np.stack([t[2] for t in traj])

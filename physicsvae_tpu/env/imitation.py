@@ -73,6 +73,7 @@ class ImitationEnv:
         from ..kinematics.char_info import apply_contactable_body
         ci = apply_contactable_body(ci, cfg.contactable_body)
         self.char_info = ci
+        self.cm = cm  # collision geoms (runtime/render.py reads these)
         self.model = model_mod.build_model(cm, ci, params)
 
         # Base motion: initial posture + Absolute-mode action base pose

@@ -89,33 +89,45 @@ def retarget(bvh, char_info: CharInfo) -> Motion:
 
 def _with_velocities(root_p, root_q, joint_q, fps) -> Motion:
     """Finite-difference velocities, matching MotionWithVelocity semantics
-    (frame i velocity from frames (i-1, i); frame 0 copies frame 1)."""
-    root_p = jnp.asarray(root_p, dtype=jnp.float32)
-    root_q = jnp.asarray(quat.normalize(jnp.asarray(root_q)), dtype=jnp.float32)
-    joint_q = jnp.asarray(quat.normalize(jnp.asarray(joint_q)), dtype=jnp.float32)
-    T = root_p.shape[0]
+    (frame i velocity from frames (i-1, i); frame 0 copies frame 1).
 
-    if T > 1:
-        root_v = (root_p[1:] - root_p[:-1]) * fps
-        # world angular: R_i = exp(w dt) R_{i-1} -> w = aa(q_i * q_{i-1}^-1)*fps
-        dq_root = quat.mul(root_q[1:], quat.conjugate(root_q[:-1]))
-        root_w = quat.to_axis_angle(dq_root) * fps
-        # local angular in child frame: q_i^-1 q_{i+1}... reference frame (i-1,i)
-        dq_j = quat.mul(quat.conjugate(joint_q[:-1]), joint_q[1:])
-        joint_w = quat.to_axis_angle(dq_j) * fps
-        root_v = jnp.concatenate([root_v[:1], root_v], axis=0)
-        root_w = jnp.concatenate([root_w[:1], root_w], axis=0)
-        joint_w = jnp.concatenate([joint_w[:1], joint_w], axis=0)
-    else:
-        root_v = jnp.zeros_like(root_p)
-        root_w = jnp.zeros_like(root_p)
-        joint_w = jnp.zeros(joint_q.shape[:-1] + (3,))
+    Runs pinned to the HOST CPU backend and returns numpy: eager per-clip
+    quaternion ops through the TPU tunnel cost a device round-trip each
+    (~530 s of a 650 s cold env build in the r3 profile); build_db uploads
+    the stacked DB to the accelerator in one transfer afterwards.
+    """
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        root_p = jnp.asarray(root_p, dtype=jnp.float32)
+        root_q = jnp.asarray(quat.normalize(jnp.asarray(root_q)),
+                             dtype=jnp.float32)
+        joint_q = jnp.asarray(quat.normalize(jnp.asarray(joint_q)),
+                              dtype=jnp.float32)
+        T = root_p.shape[0]
 
-    return Motion(
-        root_p=root_p, root_q=root_q, joint_q=joint_q,
-        root_v=root_v, root_w=root_w, joint_w=joint_w,
-        fps=float(fps), num_frames=int(T),
-    )
+        if T > 1:
+            root_v = (root_p[1:] - root_p[:-1]) * fps
+            # world angular: R_i = exp(w dt) R_{i-1}
+            #   -> w = aa(q_i * q_{i-1}^-1)*fps
+            dq_root = quat.mul(root_q[1:], quat.conjugate(root_q[:-1]))
+            root_w = quat.to_axis_angle(dq_root) * fps
+            # local angular in child frame (reference frames (i-1, i))
+            dq_j = quat.mul(quat.conjugate(joint_q[:-1]), joint_q[1:])
+            joint_w = quat.to_axis_angle(dq_j) * fps
+            root_v = jnp.concatenate([root_v[:1], root_v], axis=0)
+            root_w = jnp.concatenate([root_w[:1], root_w], axis=0)
+            joint_w = jnp.concatenate([joint_w[:1], joint_w], axis=0)
+        else:
+            root_v = jnp.zeros_like(root_p)
+            root_w = jnp.zeros_like(root_p)
+            joint_w = jnp.zeros(joint_q.shape[:-1] + (3,))
+
+        return Motion(
+            root_p=np.asarray(root_p), root_q=np.asarray(root_q),
+            joint_q=np.asarray(joint_q), root_v=np.asarray(root_v),
+            root_w=np.asarray(root_w), joint_w=np.asarray(joint_w),
+            fps=float(fps), num_frames=int(T),
+        )
 
 
 # ---------------------------------------------------------------------------

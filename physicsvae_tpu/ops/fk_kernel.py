@@ -216,13 +216,12 @@ def fk_pallas(model, state, interpret: bool = False):
     # Per-dof tables (einsum-shaped; stays in XLA)
     dof_body = jnp.asarray(model.dof_body)
     dof_joint = np.asarray(model.dof_joint)
-    onehot = jnp.asarray(np.eye(3)[np.asarray(model.dof_axis)],
-                         dtype=body_q.dtype)
+    axis_local = jnp.asarray(model.dof_axis_local, dtype=body_q.dtype)
     R_bodies = quat.to_matrix(body_q)
     R_d = R_bodies[..., dof_body, :, :]
-    axis_joint = jnp.einsum("...dij,dj->...di", R_d, onehot)
+    axis_joint = jnp.einsum("...dij,dj->...di", R_d, axis_local)
     is_root_dof = jnp.asarray(dof_joint < 0)[:, None]
-    dof_axis = jnp.where(is_root_dof, onehot, axis_joint)
+    dof_axis = jnp.where(is_root_dof, axis_local, axis_joint)
     dof_pos = body_p[..., dof_body, :]
 
     return FKResult(body_q=body_q, body_p=body_p, body_com=body_com,

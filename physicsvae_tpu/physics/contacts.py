@@ -49,14 +49,16 @@ def detect_ground(model: PhysicsModel, x, ground=0.0):
 
 
 def select_contacts(model: PhysicsModel, x, depth, margin=0.0):
-    """Top-K deepest candidates as a fixed-size contact set."""
-    from .linalg import onehot_take, topk_argmax
+    """Top-K deepest candidates as a fixed-size contact set (stable ranking
+    matmul — one fused comparison-reduce instead of K argmax sweeps)."""
+    from .linalg import topk_rank
 
     K = min(model.params.num_contacts, depth.shape[-1])
-    d, idx = topk_argmax(depth, K)
+    d, idx, oh = topk_rank(depth, K)
     active = d > -margin
-    pos = onehot_take(x, idx)
-    body = jnp.asarray(model.point_body)[idx]
+    pos = jnp.einsum("...kp,...pf->...kf", oh, x)
+    body_f = jnp.asarray(model.point_body, jnp.float32)
+    body = jnp.einsum("...kp,p->...k", oh, body_f).astype(jnp.int32)
     return Contacts(pos=pos, depth=d, active=active, body=body,
                     point_idx=idx)
 

@@ -167,13 +167,15 @@ def bias_force(model: PhysicsModel, k: FKResult, S, I_sp, V, vel):
     lin0 = jnp.broadcast_to(-g, batch + (3,)) + jnp.cross(pdot, omega)
     A0 = jnp.concatenate([jnp.zeros(batch + (3,)), lin0], axis=-1)
 
-    # Joint-velocity spatial contributions vJ per body (movable joints'
-    # dofs are contiguous after the 6 root dofs, in joint order).
+    # Joint-velocity spatial contributions vJ per body: sum S_d * v_d over
+    # each movable joint's dofs (1 for revolute, 3 for spherical) — one
+    # static membership contraction.
     import numpy as np
-    mov_bodies = jnp.asarray(np.where(model.movable)[0] + 1)
-    S_mov = S[..., 6:, :].reshape(S.shape[:-2] + (-1, 3, 6))
-    v_mov = vel[..., 6:].reshape(vel.shape[:-1] + (-1, 3))
-    vJ_mov = jnp.einsum("...jdi,...jd->...ji", S_mov, v_mov)
+    mov_bodies = jnp.asarray(np.asarray(model.mov_joints) + 1)
+    member = jnp.asarray(
+        np.abs(model.mov_dof_T).sum(-1) > 0, dtype=S.dtype)  # (n_mov,NVm)
+    Sv = S[..., 6:, :] * vel[..., 6:, None]
+    vJ_mov = jnp.einsum("...di,md->...mi", Sv, member)
     vJ = jnp.zeros(batch + (NB, 6), dtype=S.dtype)
     vJ = vJ.at[..., mov_bodies, :].set(vJ_mov)
 

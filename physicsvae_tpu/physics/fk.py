@@ -119,13 +119,13 @@ def _fk_xla(model: PhysicsModel, state: SimState) -> FKResult:
     # of a Python loop of stacks (cuts ~120 dispatched ops per substep).
     dof_body = jnp.asarray(model.dof_body)       # (NV,)
     dof_joint = np.asarray(model.dof_joint)
-    onehot = jnp.asarray(np.eye(3)[np.asarray(model.dof_axis)],
-                         dtype=body_q.dtype)     # (NV,3)
+    axis_local = jnp.asarray(model.dof_axis_local,
+                             dtype=body_q.dtype)  # (NV,3)
     R_bodies = quat.to_matrix(body_q)            # (...,NB,3,3)
     R_d = R_bodies[..., dof_body, :, :]          # (...,NV,3,3)
-    axis_joint = jnp.einsum("...dij,dj->...di", R_d, onehot)
+    axis_joint = jnp.einsum("...dij,dj->...di", R_d, axis_local)
     is_root_dof = jnp.asarray(dof_joint < 0)[:, None]
-    dof_axis = jnp.where(is_root_dof, onehot, axis_joint)
+    dof_axis = jnp.where(is_root_dof, axis_local, axis_joint)
     dof_pos = body_p[..., dof_body, :]           # root dofs -> root_p
 
     return FKResult(

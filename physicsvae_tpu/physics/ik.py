@@ -59,12 +59,15 @@ def solve_ik(model: PhysicsModel, state: SimState, ee_bodies, targets,
         lam = jnp.linalg.solve(JJt, e[..., None])[..., 0]
         dq = step_scale * jnp.einsum("...in,...i->...n", Jf, lam)
 
-        # integrate dq into the configuration
-        mov = np.where(model.movable)[0]
-        om = dq[..., 6:].reshape(dq.shape[:-1] + (-1, 3))
+        # integrate dq into the configuration (mov_dof_T maps dof deltas to
+        # joint-space rotation vectors: 3 components spherical, axis*delta
+        # revolute)
+        mov = jnp.asarray(model.mov_joints)
+        T = jnp.asarray(model.mov_dof_T, dtype=dq.dtype)
+        om = jnp.einsum("...d,mdi->...mi", dq[..., 6:], T)
         joint_q = st.joint_q
-        joint_q = joint_q.at[..., jnp.asarray(mov), :].set(
-            quat.integrate(joint_q[..., jnp.asarray(mov), :], om, 1.0))
+        joint_q = joint_q.at[..., mov, :].set(
+            quat.integrate(joint_q[..., mov, :], om, 1.0))
         root_p = st.root_p if lock_root else st.root_p + dq[..., 0:3]
         root_q = st.root_q if lock_root else \
             quat.integrate_world(st.root_q, dq[..., 3:6], 1.0)

@@ -22,7 +22,7 @@ import numpy as np
 
 from ..kinematics.char_info import CharInfo
 from ..kinematics.urdf import (CharacterModel, FIXED, GEOM_BOX, GEOM_CAPSULE,
-                               GEOM_SPHERE, SPHERICAL)
+                               GEOM_SPHERE, REVOLUTE, SPHERICAL)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -52,6 +52,12 @@ class SimParams:
     # (Bullet warm-starts its sequential impulses the same way)
     apgd_warm_iters: int = 8
     ns_iters: int = 1            # Newton–Schulz refinements per warm substep
+    # Per-control-step cold inverse: "ns" = factorization-free Newton–
+    # Schulz from the Pan–Schreiber seed (pure MXU matmuls, ~3x faster
+    # than the TPU Cholesky custom-call at B=2048); "chol" = exact
+    # Cholesky (reference-style; used by fidelity cross-checks).
+    cold_inverse: str = "ns"
+    ns_cold_iters: int = 22
     use_pallas_fk: bool = False  # route batched FK through the Pallas kernel
     # bf16 inputs (f32 accumulation) for the bandwidth-dominant matmuls:
     # Newton–Schulz refinement, Delassus build, APGD matvec, qdd solve.
@@ -100,10 +106,15 @@ class PhysicsModel:
     # Dof tables
     dof_body: np.ndarray         # (NV,) body the dof's joint connects (child)
     dof_joint: np.ndarray        # (NV,) joint index, -1 for root dofs
-    dof_axis: np.ndarray         # (NV,) axis index 0..2
+    dof_axis_local: np.ndarray   # (NV,3) axis in the child joint frame
+    #                              (root dofs: world axes; spherical: e_k;
+    #                               revolute: the URDF joint axis)
     dof_is_ang: np.ndarray       # (NV,) bool
     anc: np.ndarray              # (NB, NV) bool ancestor-dof mask
     anc_pair: np.ndarray         # (NV, NV) bool: e ancestor-or-self of d
+    joint_ndof: np.ndarray       # (J,) dofs per joint (0 fixed / 1 rev / 3)
+    mov_joints: np.ndarray       # (n_mov,) movable joint indices
+    mov_dof_T: np.ndarray        # (n_mov, NV-6, 3) joint<->dof projection
 
     # Actuation (dof-indexed; zeros on root dofs)
     kp: np.ndarray               # (NV,) stable-PD gains
@@ -200,15 +211,20 @@ def build_model(cm: CharacterModel, ci: CharInfo,
     assert ci.num_joints == J
 
     movable = cm.joint_type != FIXED
-    assert (cm.joint_type[movable] == SPHERICAL).all(), \
-        "only spherical movable joints supported (loco family)"
+    assert np.isin(cm.joint_type[movable], (SPHERICAL, REVOLUTE)).all(), \
+        "movable joints must be spherical or revolute"
+    # dofs per joint: spherical = 3 (local axes e0,e1,e2), revolute = 1
+    # (the URDF joint axis) — reference handles both generically
+    # (sim_agent.py:118-129, :744-766).
+    joint_ndof = np.where(movable,
+                          np.where(cm.joint_type == REVOLUTE, 1, 3), 0)
 
     joint_dof_start = np.full(J, -1, dtype=np.int32)
     nv = 6
     for j in range(J):
         if movable[j]:
             joint_dof_start[j] = nv
-            nv += 3
+            nv += int(joint_ndof[j])
 
     body_parent = np.concatenate([[-1], cm.parent + 1]).astype(np.int32)
 
@@ -218,18 +234,23 @@ def build_model(cm: CharacterModel, ci: CharInfo,
 
     dof_body = np.zeros(nv, dtype=np.int32)
     dof_joint = np.full(nv, -1, dtype=np.int32)
-    dof_axis = np.zeros(nv, dtype=np.int32)
+    dof_axis_local = np.zeros((nv, 3))
     dof_is_ang = np.zeros(nv, dtype=bool)
-    dof_axis[:6] = [0, 1, 2, 0, 1, 2]
+    dof_axis_local[:6] = np.tile(np.eye(3), (2, 1))
     dof_is_ang[3:6] = True
     for j in range(J):
         s = joint_dof_start[j]
         if s < 0:
             continue
-        dof_body[s:s + 3] = j + 1
-        dof_joint[s:s + 3] = j
-        dof_axis[s:s + 3] = [0, 1, 2]
-        dof_is_ang[s:s + 3] = True
+        n = int(joint_ndof[j])
+        dof_body[s:s + n] = j + 1
+        dof_joint[s:s + n] = j
+        if n == 3:
+            dof_axis_local[s:s + 3] = np.eye(3)
+        else:
+            ax = np.asarray(cm.joint_axis[j], dtype=np.float64)
+            dof_axis_local[s] = ax / max(np.linalg.norm(ax), 1e-12)
+        dof_is_ang[s:s + n] = True
 
     # Ancestor masks
     anc = np.zeros((NB, nv), dtype=bool)
@@ -240,8 +261,20 @@ def build_model(cm: CharacterModel, ci: CharInfo,
             j = b - 1
             s = joint_dof_start[j]
             if s >= 0:
-                anc[k, s:s + 3] = True
+                anc[k, s:s + int(joint_ndof[j])] = True
             b = body_parent[b]
+
+    # Movable-joint <-> dof maps for the actuation/velocity projections:
+    # mov_dof_T[m, d, :] = local axis of dof 6+d when it belongs to the
+    # m-th movable joint, else 0.  Spherical axes are orthonormal per
+    # joint, so the same tensor maps joint-space (m,3) vectors to dof
+    # scalars (projection) and back (scatter).
+    mov_joints = np.where(movable)[0].astype(np.int32)
+    nvm = nv - 6
+    mov_dof_T = np.zeros((len(mov_joints), nvm, 3))
+    for d in range(nvm):
+        m = int(np.searchsorted(mov_joints, dof_joint[6 + d]))
+        mov_dof_T[m, d] = dof_axis_local[6 + d]
     # anc_pair[d,e]: e is an ancestor-or-self dof of d AND e < d (strict
     # lower triangle; valid because joints are topologically ordered).  The
     # CRBA assembly adds the transpose and the diagonal separately.
@@ -263,12 +296,13 @@ def build_model(cm: CharacterModel, ci: CharInfo,
         s = joint_dof_start[j]
         if s < 0:
             continue
-        kp[s:s + 3] = ci.kp[j]
-        kd[s:s + 3] = ci.kd[j]
-        kp_pd[s:s + 3] = ci_kp_pd[j]
-        kd_pd[s:s + 3] = ci_kd_pd[j]
-        max_force[s:s + 3] = ci.max_force[j]
-        damping[s:s + 3] = params.joint_damping
+        n = int(joint_ndof[j])
+        kp[s:s + n] = ci.kp[j]
+        kd[s:s + n] = ci.kd[j]
+        kp_pd[s:s + n] = ci_kp_pd[j]
+        kd_pd[s:s + n] = ci_kd_pd[j]
+        max_force[s:s + n] = ci.max_force[j]
+        damping[s:s + n] = params.joint_damping
 
     # Depth levels over joints (body depth = joint depth + 1; base = 0)
     depth = np.zeros(NB, dtype=np.int32)
@@ -307,7 +341,10 @@ def build_model(cm: CharacterModel, ci: CharInfo,
         inertia=inertia,
         dof_body=dof_body,
         dof_joint=dof_joint,
-        dof_axis=dof_axis,
+        dof_axis_local=dof_axis_local,
+        joint_ndof=joint_ndof.astype(np.int32),
+        mov_joints=mov_joints,
+        mov_dof_T=mov_dof_T,
         dof_is_ang=dof_is_ang,
         anc=anc,
         anc_pair=anc_pair,

@@ -133,17 +133,22 @@ def detect_self_contacts(model: PhysicsModel, k_fk):
     normal = d / jnp.maximum(dist[..., None], 1e-8)
     pos = 0.5 * (x1 + x2)
 
-    from .linalg import onehot_take, topk_argmax
+    from .linalg import topk_rank
 
     K2 = model.params.num_self_contacts
-    dd, idx = topk_argmax(depth, K2)
+    dd, idx, oh = topk_rank(depth, K2)
 
     # ONE coalesced one-hot-matmul gather of all per-pair features instead
     # of separate vec3 take_along_axis calls (tiny-minor-dim gathers
-    # dominated the self-collision cost in the r2 device trace).
+    # dominated the self-collision cost in the r2 device trace); the
+    # ranking one-hot doubles as the gather matrix.
     feats = jnp.concatenate([pos, normal], axis=-1)      # (...,P,6)
-    sel = onehot_take(feats, idx)
-    return (sel[..., 0:3], sel[..., 3:6], dd, bi[idx], bj[idx])
+    sel = jnp.einsum("...kp,...pf->...kf", oh, feats)
+    bi_s = jnp.einsum("...kp,p->...k", oh,
+                      bi.astype(jnp.float32)).astype(jnp.int32)
+    bj_s = jnp.einsum("...kp,p->...k", oh,
+                      bj.astype(jnp.float32)).astype(jnp.int32)
+    return (sel[..., 0:3], sel[..., 3:6], dd, bi_s, bj_s)
 
 
 def pair_jacobian(model: PhysicsModel, k_fk, pos, body_i, body_j):

@@ -52,21 +52,24 @@ def _movable_joints(model: PhysicsModel):
 def joint_omega(model: PhysicsModel, state: SimState):
     """(...,J,3) local angular velocity per joint (zeros for fixed).
 
-    Movable-joint dofs are laid out contiguously after the 6 root dofs in
-    joint order, so this is one reshape + one static scatter.
+    One static contraction against mov_dof_T: spherical joints recover
+    their 3 axis components, revolute joints contribute axis * qdot.
     """
     J = model.num_joints
     batch = state.batch_shape
-    om_mov = state.vel[..., 6:].reshape(batch + (-1, 3))
+    T = jnp.asarray(model.mov_dof_T, dtype=state.vel.dtype)
+    om_mov = jnp.einsum("...d,mdi->...mi", state.vel[..., 6:], T)
     out = jnp.zeros(batch + (J, 3), dtype=state.vel.dtype)
-    return out.at[..., _movable_joints(model), :].set(om_mov)
+    return out.at[..., jnp.asarray(model.mov_joints), :].set(om_mov)
 
 
 def set_joint_omega(model: PhysicsModel, vel, omega):
-    """Scatter (...,J,3) local joint angular velocities into packed vel."""
-    om_mov = omega[..., _movable_joints(model), :]
-    return vel.at[..., 6:].set(
-        om_mov.reshape(om_mov.shape[:-2] + (-1,)))
+    """Scatter (...,J,3) local joint angular velocities into packed vel
+    (per-dof projection onto the local dof axes — exact for spherical,
+    axis projection for revolute)."""
+    om_mov = omega[..., jnp.asarray(model.mov_joints), :]
+    T = jnp.asarray(model.mov_dof_T, dtype=vel.dtype)
+    return vel.at[..., 6:].set(jnp.einsum("...mi,mdi->...d", om_mov, T))
 
 
 def default_state(model: PhysicsModel, batch_shape=()) -> SimState:

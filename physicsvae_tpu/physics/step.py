@@ -24,7 +24,7 @@ from ..maths import quaternion as quat
 from . import contacts as contacts_mod
 from .dynamics import dynamics_terms
 from .fk import contact_point_positions, fk
-from .linalg import ns_refine, spd_inverse
+from .linalg import ns_inverse, ns_refine, spd_inverse
 from .model import PhysicsModel
 from .state import SimState, joint_omega
 
@@ -68,10 +68,20 @@ def _aux_tau(model: PhysicsModel, state: SimState, action: Action):
 def _joint_err(model: PhysicsModel, joint_q, action: Action):
     """Axis-angle error from the current local joint rotations to the
     targets, per movable joint: (..., n_mov, 3)."""
-    mov = jnp.asarray(np.where(model.movable)[0])
+    mov = jnp.asarray(model.mov_joints)
     err = quat.to_axis_angle(
         quat.mul(quat.conjugate(joint_q), action.target_q))
     return err[..., mov, :], mov
+
+
+def _dof_project(model: PhysicsModel, vec_mov):
+    """(..., n_mov, 3) joint-space vectors -> (..., NV-6) per-dof scalars.
+
+    Spherical joints keep their 3 components; revolute joints project onto
+    the joint axis (the reference's project_rotation_1D action mapping,
+    sim_agent.py:744-766)."""
+    T = jnp.asarray(model.mov_dof_T, dtype=vec_mov.dtype)
+    return jnp.einsum("...mi,mdi->...d", vec_mov, T)
 
 
 def spd_torque(model: PhysicsModel, state: SimState, action: Action, dt):
@@ -90,13 +100,11 @@ def spd_torque(model: PhysicsModel, state: SimState, action: Action, dt):
     # error rotation from advanced pose to target, in the child joint frame
     err_mov, mov = _joint_err(model, q_adv, action)
 
-    # Movable-joint dofs are contiguous after the 6 root dofs, in joint order.
-    t_mov = (err_mov * kp[6:].reshape(-1, 3)
-             + (action.target_w[..., mov, :] - om[..., mov, :])
-             * kd[6:].reshape(-1, 3))
+    t_dof = (kp[6:] * _dof_project(model, err_mov)
+             + kd[6:] * _dof_project(
+                 model, action.target_w[..., mov, :] - om[..., mov, :]))
     batch = state.vel.shape[:-1]
-    tau = jnp.concatenate(
-        [jnp.zeros(batch + (6,)), t_mov.reshape(batch + (-1,))], axis=-1)
+    tau = jnp.concatenate([jnp.zeros(batch + (6,)), t_dof], axis=-1)
     tau = jnp.clip(tau, -max_f, max_f)
     return tau + _aux_tau(model, state, action)
 
@@ -114,12 +122,11 @@ def pd_torque(model: PhysicsModel, state: SimState, action: Action):
 
     om = joint_omega(model, state)
     err_mov, mov = _joint_err(model, state.joint_q, action)
-    t_mov = (err_mov * kp[6:].reshape(-1, 3)
-             + (action.target_w[..., mov, :] - om[..., mov, :])
-             * kd[6:].reshape(-1, 3))
+    t_dof = (kp[6:] * _dof_project(model, err_mov)
+             + kd[6:] * _dof_project(
+                 model, action.target_w[..., mov, :] - om[..., mov, :]))
     batch = state.vel.shape[:-1]
-    tau = jnp.concatenate(
-        [jnp.zeros(batch + (6,)), t_mov.reshape(batch + (-1,))], axis=-1)
+    tau = jnp.concatenate([jnp.zeros(batch + (6,)), t_dof], axis=-1)
     tau = jnp.clip(tau, -max_f, max_f)
     return tau + _aux_tau(model, state, action)
 
@@ -143,8 +150,8 @@ def servo_delta_v(model: PhysicsModel, state: SimState, action: Action,
 
     err_mov, mov = _joint_err(model, state.joint_q, action)
     batch = state.vel.shape[:-1]
-    err = err_mov.reshape(batch + (-1,))
-    tgt_w = action.target_w[..., mov, :].reshape(batch + (-1,))
+    err = _dof_project(model, err_mov)
+    tgt_w = _dof_project(model, action.target_w[..., mov, :])
     v_m = v_pred[..., 6:]
 
     # Each motor drives the dof velocity toward a target at a gain-scaled
@@ -217,7 +224,15 @@ def substep(model: PhysicsModel, state: SimState, action: Action,
     S, M, c = dynamics_terms(model, state, k)
     M_hat = _damped_mass_matrix(model, M, dt)
     if Minv is None:
-        Minv = spd_inverse(M_hat)
+        # NS cold inverse only for stable-PD: its implicit dt*kd diagonal
+        # keeps the equilibrated condition number ~250 (22 iters converge).
+        # The barely-damped M_hat of pd/cpd/cp/v/tq/none needs far more NS
+        # iterations than a Cholesky costs, so those modes keep the exact
+        # factorization (they are reference-parity paths, not the perf path).
+        if p.cold_inverse == "ns" and p.actuation == "spd":
+            Minv = ns_inverse(M_hat, iters=p.ns_cold_iters)
+        else:
+            Minv = spd_inverse(M_hat)
     else:
         Minv = ns_refine(M_hat, Minv, iters=p.ns_iters,
                          bf16=_bf16_inverse_ok(model))

@@ -101,11 +101,21 @@ class EnvRunner:
             (i + 1) % len(self.EVAL_METHODS)]
         return self.policy_eval_method
 
-    def run_episode(self, max_steps=1000):
-        rews = []
+    def run_episode(self, max_steps=1000, record: bool = False):
+        """Roll one episode.  With record=True also returns the pose
+        trajectory [(root_p, root_q, joint_q), ...] for export/rendering
+        (the reference records replays the same way,
+        envs/rllib_env_imitation.py:421-442)."""
+        rews, traj = [], []
         for _ in range(max_steps):
             rew, done, _ = self.one_step()
             rews.append(rew)
+            if record:
+                sim = self.env_state.sim
+                traj.append((np.asarray(sim.root_p), np.asarray(sim.root_q),
+                             np.asarray(sim.joint_q)))
             if done:
                 break
+        if record:
+            return rews, traj
         return rews
