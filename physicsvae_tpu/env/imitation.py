@@ -44,12 +44,14 @@ class EnvState:
     last_reward: Any      # f32
     rng: Any              # PRNG key
     obstacles: Any = None  # ObstacleState pool (None when disabled)
+    minv: Any = None      # carried inverse of the damped mass matrix
+    #                       (bf16 seed; see control_step_carry)
 
     def tree_flatten(self):
         return (self.sim, self.ref_idx, self.start_time, self.elapsed,
                 self.eoe_intermediate, self.time_after_eoe, self.done,
                 self.rew_queue, self.rew_sum, self.last_reward, self.rng,
-                self.obstacles), None
+                self.obstacles, self.minv), None
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
@@ -62,12 +64,13 @@ class ImitationEnv:
     Reference call stack parity: SURVEY.md §3.1.
     """
 
-    def __init__(self, cfg: EnvConfig):
+    def __init__(self, cfg: EnvConfig, physics_overrides=None):
         self.cfg = cfg
         params = model_mod.SimParams(
             fps_sim=cfg.fps_sim, fps_con=cfg.fps_con,
             actuation=cfg.actuation, self_collision=cfg.self_collision,
-            matmul_bf16=cfg.matmul_bf16, apgd_iters=cfg.apgd_iters)
+            matmul_bf16=cfg.matmul_bf16, apgd_iters=cfg.apgd_iters,
+            **(physics_overrides or {}))
         cm = load_urdf(cfg.sim_char_file)
         ci = load_char_info(cfg.char_info_file)
         from ..kinematics.char_info import apply_contactable_body
@@ -122,6 +125,65 @@ class ImitationEnv:
         self.dim_state = (
             self.dim_state_body * ("body" in cfg.state_choices)
             + self.dim_state_task)
+
+        # Per-frame inverse mass-matrix table: seeds the carried inverse at
+        # RSI resets so the hot loop never cold-factorizes (the cold NS/
+        # Cholesky was ~20% of device time in the r3 trace).  bf16 is
+        # plenty for a seed (3 f32 refinements reach resid 5e-4).
+        self._minv_table = None
+        if params.actuation == "spd" and params.carry_minv:
+            self._minv_table = self._build_minv_table()
+
+    def _build_minv_table(self):
+        """Computed entirely on the HOST CPU backend (the TPU-tunnel version
+        cost 240 s of env-build; CPU does the ~1.5 GFLOP in seconds), then
+        uploaded once as a bf16 array."""
+        import numpy as np
+
+        from ..physics.dynamics import dynamics_terms
+        from ..physics.linalg import spd_inverse
+
+        db = self.db
+        dt = self.model.params.dt_sim
+        nv = self.model.nv
+        cpu = jax.devices("cpu")[0]
+
+        # every 4th frame (0.13 s): seeds tolerate far coarser quantization
+        # (3 f32 refinements converge from resid ~12; nearest-frame resid
+        # is ~2) and the table upload through the TPU tunnel shrinks 4x.
+        stride = self._minv_table_stride = 4
+        sub_p = np.asarray(db.root_p)[:, ::stride]
+        sub_q = np.asarray(db.root_q)[:, ::stride]
+        sub_j = np.asarray(db.joint_q)[:, ::stride]
+        NC, T = sub_p.shape[0], sub_p.shape[1]
+
+        flat_p = sub_p.reshape(-1, 3)
+        flat_q = sub_q.reshape(-1, 4)
+        flat_j = sub_j.reshape(-1, sub_j.shape[-2], 4)
+
+        with jax.default_device(cpu):
+            @jax.jit
+            def chunk_inv(root_p, root_q, joint_q):
+                sim = state_mod.from_pose(self.model, root_p, root_q,
+                                          joint_q)
+                k = fk_mod.fk(self.model, sim)
+                _, M, _ = dynamics_terms(self.model, sim, k)
+                M_hat = step_mod._damped_mass_matrix(self.model, M, dt)
+                return spd_inverse(M_hat)
+
+            n = NC * T
+            chunk = 4096
+            pad = (-n) % chunk
+            if pad:
+                rep = lambda x: np.concatenate(
+                    [x, np.repeat(x[-1:], pad, axis=0)], axis=0)
+                flat_p, flat_q, flat_j = rep(flat_p), rep(flat_q), rep(flat_j)
+            outs = [np.asarray(chunk_inv(flat_p[i:i + chunk],
+                                         flat_q[i:i + chunk],
+                                         flat_j[i:i + chunk]))
+                    for i in range(0, n + pad, chunk)]
+        table = np.concatenate(outs, axis=0)[:n].reshape(NC, T, nv, nv)
+        return jnp.asarray(table, dtype=jnp.bfloat16)
 
     # ------------------------------------------------------------------
     # helpers
@@ -275,7 +337,18 @@ class ImitationEnv:
             last_reward=jnp.zeros((), f32),
             rng=rng,
             obstacles=pool,
+            minv=self._reset_minv(ref_idx, st_time),
         )
+
+    def _reset_minv(self, ref_idx, st_time):
+        """Seed inverse for the reset pose: nearest table entry (the table
+        is subsampled every `_minv_table_stride` frames)."""
+        if self._minv_table is None:
+            return None
+        s = self._minv_table_stride
+        fi = jnp.clip(jnp.round(st_time * self.db.fps / s).astype(jnp.int32),
+                      0, self._minv_table.shape[1] - 1)
+        return self._minv_table[ref_idx, fi]
 
     # ------------------------------------------------------------------
     # observation
@@ -456,16 +529,32 @@ class ImitationEnv:
                 thrown = self.throw_obstacle(pool, k2, st.sim.root_p)
                 pool = jax.tree.map(lambda a, b: jnp.where(do, a, b),
                                     thrown, pool)
-            sim, pool = step_mod.control_step(self.model, st.sim, act,
-                                              ground_height=self.ground,
-                                              obstacles=pool)
+            if st.minv is not None:
+                sim, minv2, pool = step_mod.control_step_carry(
+                    self.model, st.sim, act, st.minv,
+                    ground_height=self.ground, obstacles=pool)
+            else:
+                sim, pool = step_mod.control_step(self.model, st.sim, act,
+                                                  ground_height=self.ground,
+                                                  obstacles=pool)
+                minv2 = None
         else:
-            sim = step_mod.control_step(self.model, st.sim, act,
-                                        ground_height=self.ground)
+            if st.minv is not None:
+                sim, minv2, _ = step_mod.control_step_carry(
+                    self.model, st.sim, act, st.minv,
+                    ground_height=self.ground)
+            else:
+                sim = step_mod.control_step(self.model, st.sim, act,
+                                            ground_height=self.ground)
+                minv2 = None
         elapsed = st.elapsed + self.dt_con
 
+        if minv2 is not None:
+            # storage dtype must match the reset-seed table (autoreset
+            # merges the two pytrees with jnp.where)
+            minv2 = minv2.astype(st.minv.dtype)
         st1 = dataclasses.replace(st, sim=sim, elapsed=elapsed, rng=rng,
-                                  obstacles=pool)
+                                  obstacles=pool, minv=minv2)
         t_ref = self.ref_time(st1)
         kin = self._kin_state(st1.ref_idx, t_ref)
 
@@ -538,7 +627,7 @@ class ImitationEnv:
             elapsed=elapsed, eoe_intermediate=eoe_intermediate,
             time_after_eoe=time_after_eoe, done=done,
             rew_queue=rew_queue, rew_sum=rew_sum, last_reward=reward,
-            rng=st1.rng, obstacles=st1.obstacles)
+            rng=st1.rng, obstacles=st1.obstacles, minv=st1.minv)
 
         info = {"rew_info": rew_info, "eoe": eoe_flags, "error": error,
                 "episode_return": rew_sum,
@@ -626,8 +715,9 @@ class ImitationEnv:
         return error
 
 
-def make_env(spec_path: str, project_dir: Optional[str] = None):
+def make_env(spec_path: str, project_dir: Optional[str] = None,
+             physics_overrides=None):
     from .config import load_env_config_from_spec
 
     cfg = load_env_config_from_spec(spec_path, project_dir=project_dir)
-    return ImitationEnv(cfg)
+    return ImitationEnv(cfg, physics_overrides=physics_overrides)

@@ -81,9 +81,12 @@ class TrackingEnv:
         sim = state_mod.from_pose(self.model, root_p, root_q, joint_q,
                                   root_v, root_w, joint_w)
         batch = sim.batch_shape
+        # multi-agent scenes share ONE obstacle pool (one world, reference
+        # envs/env_humanoid_tracking.py:181-209): drop the agent axis
+        pool_batch = batch[1:] if self.num_agent > 1 else batch
         return TrackingState(
             sim=sim,
-            obstacles=obs_mod.init_pool(self.num_obstacle_slots, batch),
+            obstacles=obs_mod.init_pool(self.num_obstacle_slots, pool_batch),
             elapsed=jnp.full(batch, time, jnp.float32),
             episode_len=jnp.zeros(batch, jnp.float32),
         )
@@ -99,13 +102,9 @@ class TrackingEnv:
         ground = self.heightmap if self.heightmap is not None else 0.0
         if self.num_agent > 1:
             from ..physics import multi_agent
-            from ..physics import obstacles as _obs
-            sim = multi_agent.scene_step(self.model, st.sim, action,
-                                         ground_height=ground)
-            g = self.model.params.gravity * jnp.asarray(self.model.v_up_env)
-            obstacles = _obs.update(st.obstacles, self.dt_con, g,
-                                    v_up=self.model.v_up_env,
-                                    ground_height=ground)
+            sim, obstacles = multi_agent.scene_step(
+                self.model, st.sim, action, ground_height=ground,
+                obstacles=st.obstacles)
         else:
             sim, obstacles = step_mod.control_step(self.model, st.sim,
                                                    action,

@@ -58,6 +58,9 @@ class SimParams:
     # Cholesky (reference-style; used by fidelity cross-checks).
     cold_inverse: str = "ns"
     ns_cold_iters: int = 22
+    # Carry the refined inverse across control steps (ImitationEnv seeds
+    # resets from a per-frame motion-DB table; see control_step_carry).
+    carry_minv: bool = True
     use_pallas_fk: bool = False  # route batched FK through the Pallas kernel
     # bf16 inputs (f32 accumulation) for the bandwidth-dominant matmuls:
     # Newton–Schulz refinement, Delassus build, APGD matvec, qdd solve.

@@ -64,14 +64,18 @@ def detect_agent_contacts(model: PhysicsModel, k_i, k_j, num_contacts: int):
     normal = d / jnp.maximum(dist[..., None], 1e-8)
     pos = 0.5 * (x1 + x2)
 
-    from .linalg import onehot_take, topk_argmax
+    from .linalg import topk_rank
 
-    dd, idx = topk_argmax(depth, num_contacts)
+    dd, idx, oh = topk_rank(depth, num_contacts)
     feats = jnp.concatenate([pos, normal], axis=-1)
-    sel = onehot_take(feats, idx)
+    sel = jnp.einsum("...kp,...pf->...kf", oh, feats)
+    bi_s = jnp.einsum("...kp,p->...k", oh,
+                      bi.astype(jnp.float32)).astype(jnp.int32)
+    bj_s = jnp.einsum("...kp,p->...k", oh,
+                      bj.astype(jnp.float32)).astype(jnp.int32)
     return AgentPairContacts(
         pos=sel[..., 0:3], normal=sel[..., 3:6], depth=dd,
-        body_i=bi[idx], body_j=bj[idx])
+        body_i=bi_s, body_j=bj_s)
 
 
 def _point_jacobian(model: PhysicsModel, k_fk, pos, body, sign):
@@ -84,17 +88,23 @@ def _point_jacobian(model: PhysicsModel, k_fk, pos, body, sign):
 
 
 def solve_agent_contacts(model: PhysicsModel, Minv_i, Minv_j, k_i, k_j,
-                         v_i, v_j, con: AgentPairContacts, dt):
+                         v_i, v_j, con: AgentPairContacts, dt,
+                         lam_warm=None):
     """Coupled impulse solve for one agent pair.
 
-    Returns (dv_i, dv_j).  Same APGD cone QP as ground contacts, with the
-    Delassus operator summed over the two agent blocks."""
+    Returns (dv_i, dv_j, lam).  Same APGD cone QP as ground contacts, with
+    the Delassus operator summed over the two agent blocks; lam warm-starts
+    the next substep (impulses are equal-and-opposite through W_i/W_j, so
+    scene momentum is conserved exactly up to matmul precision)."""
     p = model.params
     K = con.depth.shape[-1]
     nv = model.nv
     batch = v_i.shape[:-1]
     f32 = v_i.dtype
-    bf16 = p.matmul_bf16
+    # full f32 here: bf16 W_i/W_j rounding is independent per agent, which
+    # injects ~2% phantom momentum per collision (momentum conservation
+    # test); the pair solve is O(pairs), not the hot path.
+    bf16 = False
 
     def mm(sub, a, b):
         if bf16:
@@ -159,72 +169,133 @@ def solve_agent_contacts(model: PhysicsModel, Minv_i, Minv_j, k_i, k_j,
         y_new = lam_new + ((t - 1.0) / t_new) * (lam_new - lam)
         return (lam_new, y_new, t_new), None
 
-    lam0 = jnp.zeros(batch + (K, 3), f32)
+    if lam_warm is None:
+        lam0 = jnp.zeros(batch + (K, 3), f32)
+        iters = p.apgd_iters
+    else:
+        lam0 = project(lam_warm)
+        iters = p.apgd_warm_iters
     (lam, _, _), _ = jax.lax.scan(
         apgd, (lam0, lam0, jnp.asarray(1.0, f32)), None,
-        length=p.apgd_iters)
+        length=iters)
 
     lam_f = lam.reshape(batch + (K * 3,))
     dv_i = mm("...nk,...k->...n", W_i, lam_f)
     dv_j = -mm("...nk,...k->...n", W_j, lam_f)
-    return dv_i, dv_j
+    return dv_i, dv_j, lam
 
 
 def scene_step(model: PhysicsModel, states: SimState, actions,
-               ground_height=0.0, num_agent_contacts: int = 8):
+               ground_height=0.0, num_agent_contacts: int = 8,
+               obstacles=None):
     """One control step of an N-agent scene.
 
     states/actions carry a leading agent axis (N, ...).  Each substep:
-    per-agent dynamics + SPD + ground/self contacts (the vmapped
-    single-agent substep), then the inter-agent coupled contact solve for
-    every agent pair — the TPU equivalent of all characters living in one
-    stepSimulation world (envs/env_humanoid_tracking.py:181-209, :375-413).
+
+      1. vmapped per-agent presolve (dynamics + actuation -> v_pred),
+      2. per-agent ground/self contact solve on v_pred,
+      3. inter-agent coupled contact solve on v_pred for every pair (ONE
+         vmapped batched APGD over the stacked pair axis, warm-started
+         across substeps),
+      4. a single integration with the summed velocity change.
+
+    Inter-agent impulses act BEFORE positions integrate, so there is no
+    one-substep lag and momentum between agents is conserved exactly (the
+    r2 "phantom momentum" artifact).  Obstacles couple to every agent
+    against one shared pool (reference: one world,
+    envs/env_humanoid_tracking.py:181-209, :375-413).
     """
     from . import step as step_mod
+    from . import obstacles as obstacles_mod
 
     N = states.root_p.shape[0]
-    pairs = [(i, j) for i in range(N) for j in range(i + 1, N)]
+    pairs = np.asarray([(i, j) for i in range(N) for j in range(i + 1, N)],
+                       dtype=np.int32)
+    pi = jnp.asarray(pairs[:, 0])
+    pj = jnp.asarray(pairs[:, 1])
     p = model.params
     dt = p.dt_sim
 
-    def one_substep(sts, Minvs):
-        """sts: agent-stacked SimState (N,...); Minvs: None (first substep,
-        exact factorization) or (N,...,NV,NV) warm-start inverses."""
-        new_states, new_Minvs = [], []
-        for a in range(N):
-            st_a = jax.tree.map(lambda x: x[a], sts)
-            act_a = jax.tree.map(lambda x: x[a], actions)
-            Mi = None if Minvs is None else Minvs[a]
-            st2, Mi2, _, _ = step_mod.substep(model, st_a, act_a, Mi,
-                                              ground_height)
-            new_states.append(st2)
-            new_Minvs.append(Mi2.astype(jnp.float32))
+    def presolve_cold(st, act):
+        k, Mi, v_pred, _ = step_mod.substep_presolve(
+            model, st, act, None, ground_height)
+        return k, Mi.astype(jnp.float32), v_pred
 
-        # inter-agent coupling on the post-substep velocities
-        ks = [fk(model, s) for s in new_states]
-        vels = [s.vel for s in new_states]
-        for (i, j) in pairs:
-            con = detect_agent_contacts(model, ks[i], ks[j],
-                                        num_agent_contacts)
-            dv_i, dv_j = solve_agent_contacts(
-                model, new_Minvs[i], new_Minvs[j], ks[i], ks[j],
-                vels[i], vels[j], con, dt)
-            vels[i] = vels[i] + dv_i
-            vels[j] = vels[j] + dv_j
-        new_states = [
-            SimState(s.root_p, s.root_q, s.joint_q, v)
-            for s, v in zip(new_states, vels)]
+    def presolve_warm(st, act, Mi):
+        k, Mi, v_pred, _ = step_mod.substep_presolve(
+            model, st, act, Mi, ground_height)
+        return k, Mi, v_pred
 
-        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *new_states)
-        return stacked, jnp.stack(new_Minvs)
+    def one_substep(sts, Minvs, lam_g, lam_p, pool):
+        if Minvs is None:
+            k, Minv, v_pred = jax.vmap(presolve_cold)(sts, actions)
+        else:
+            k, Minv, v_pred = jax.vmap(presolve_warm)(sts, actions, Minvs)
 
-    sts, Minvs = one_substep(states, None)
+        # shared obstacle pool vs every agent: per-agent impulse exchange,
+        # pool reaction accumulated over agents
+        if pool is not None:
+            def obs_one(k_a, v_a, Mi_a):
+                return obstacles_mod.impulses_on_character(
+                    model, pool, k_a, v_a, Mi_a, dt)
+            import dataclasses as _dc
+            dv_obs, pools = jax.vmap(obs_one)(k, v_pred, Minv)
+            v_pred = v_pred + dv_obs
+            # accumulate every agent's reaction on the shared obstacles
+            dvel = (pools.vel - pool.vel[None]).sum(0)
+            pool = _dc.replace(pool, vel=pool.vel + dvel)
+            gvec = p.gravity * jnp.asarray(model.v_up_env)
+            pool = obstacles_mod.update(pool, dt, gvec,
+                                        v_up=model.v_up_env,
+                                        ground_height=ground_height)
+
+        # per-agent ground + self contacts on v_pred
+        def ground_one(k_a, Mi_a, v_a, lw):
+            return step_mod.solve_ground_self(model, k_a, Mi_a, v_a,
+                                              ground_height, lw)
+        if lam_g is None:
+            dv_g, lam_g = jax.vmap(
+                lambda k_a, Mi_a, v_a: ground_one(k_a, Mi_a, v_a, None)
+            )(k, Minv, v_pred)
+        else:
+            dv_g, lam_g = jax.vmap(ground_one)(k, Minv, v_pred, lam_g)
+
+        # inter-agent contacts: stack all pairs, one vmapped coupled solve
+        k_i = jax.tree.map(lambda x: x[pi], k)
+        k_j = jax.tree.map(lambda x: x[pj], k)
+        con = jax.vmap(lambda a, b: detect_agent_contacts(
+            model, a, b, num_agent_contacts))(k_i, k_j)
+
+        def pair_one(Mi, Mj, ka, kb, vi, vj, c, lw):
+            return solve_agent_contacts(model, Mi, Mj, ka, kb, vi, vj, c,
+                                        dt, lam_warm=lw)
+        if lam_p is None:
+            dv_i, dv_j, lam_p = jax.vmap(
+                lambda Mi, Mj, ka, kb, vi, vj, c:
+                pair_one(Mi, Mj, ka, kb, vi, vj, c, None)
+            )(Minv[pi], Minv[pj], k_i, k_j, v_pred[pi], v_pred[pj], con)
+        else:
+            dv_i, dv_j, lam_p = jax.vmap(pair_one)(
+                Minv[pi], Minv[pj], k_i, k_j, v_pred[pi], v_pred[pj], con,
+                lam_p)
+        dv_pair = (jnp.zeros_like(v_pred).at[pi].add(dv_i)
+                   .at[pj].add(dv_j))
+
+        vel = v_pred + dv_g + dv_pair
+        sts = jax.vmap(lambda s, v: step_mod.integrate(model, s, v, dt))(
+            sts, vel)
+        return sts, Minv, lam_g, lam_p, pool
+
+    sts, Minvs, lam_g, lam_p, pool = one_substep(states, None, None, None,
+                                                 obstacles)
 
     def body(carry, _):
-        sts, Minvs = carry
-        sts, Minvs = one_substep(sts, Minvs)
-        return (sts, Minvs), None
+        sts, Minvs, lam_g, lam_p, pool = carry
+        return one_substep(sts, Minvs, lam_g, lam_p, pool), None
 
-    (sts, _), _ = jax.lax.scan(body, (sts, Minvs), None,
-                               length=p.num_substeps - 1)
-    return sts
+    (sts, _, _, _, pool), _ = jax.lax.scan(
+        body, (sts, Minvs, lam_g, lam_p, pool), None,
+        length=p.num_substeps - 1)
+    if obstacles is None:
+        return sts
+    return sts, pool

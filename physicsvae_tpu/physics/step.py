@@ -205,17 +205,15 @@ def _damped_mass_matrix(model: PhysicsModel, M, dt):
     return M + dt * jnp.diag(diag)
 
 
-def substep(model: PhysicsModel, state: SimState, action: Action,
-            Minv=None, ground_height=0.0, obstacles=None, lam_warm=None):
-    """One physics substep at dt_sim (480 Hz for the loco config).
+def substep_presolve(model: PhysicsModel, state: SimState, action: Action,
+                     Minv=None, ground_height=0.0, obstacles=None,
+                     refine_iters=None, refine_bf16=None):
+    """Everything before the contact solve: FK, dynamics terms, (refined)
+    damped-mass inverse, actuation, predicted velocity, obstacle coupling.
 
-    Minv: warm-start inverse of the damped mass matrix from the previous
-    substep; None -> exact factorization.
-    obstacles: optional ObstacleState pool, coupled to the character and
-    ballistically integrated here (the reference steps obstacle bodies in the
-    same stepSimulation, envs/env_humanoid_tracking.py:393-407).
-    lam_warm: previous substep's contact impulses (warm start).
-    Returns (state, Minv, obstacles, lam).
+    Returns (k, Minv, v_pred, obstacles).  Split out so multi-agent scenes
+    can couple inter-agent contacts on v_pred BEFORE integration
+    (physics/multi_agent.py scene_step).
     """
     p = model.params
     dt = p.dt_sim
@@ -234,8 +232,11 @@ def substep(model: PhysicsModel, state: SimState, action: Action,
         else:
             Minv = spd_inverse(M_hat)
     else:
-        Minv = ns_refine(M_hat, Minv, iters=p.ns_iters,
-                         bf16=_bf16_inverse_ok(model))
+        Minv = ns_refine(
+            M_hat, Minv,
+            iters=p.ns_iters if refine_iters is None else refine_iters,
+            bf16=_bf16_inverse_ok(model) if refine_bf16 is None
+            else refine_bf16)
 
     mode = p.actuation
     if mode == "spd":
@@ -265,7 +266,16 @@ def substep(model: PhysicsModel, state: SimState, action: Action,
                                          v_up=model.v_up_env,
                                          ground_height=ground_height)
 
-    # Contacts on the predicted velocity
+    return k, Minv, v_pred, obstacles
+
+
+def solve_ground_self(model: PhysicsModel, k, Minv, v_pred,
+                      ground_height=0.0, lam_warm=None):
+    """Ground + self-collision contact assembly and APGD solve on the
+    predicted velocity.  Returns (dv, lam)."""
+    p = model.params
+    dt = p.dt_sim
+
     x, _ = contact_point_positions(model, k)
     depth = contacts_mod.detect_ground(model, x, ground_height)
     cons = contacts_mod.select_contacts(model, x, depth)
@@ -293,17 +303,40 @@ def substep(model: PhysicsModel, state: SimState, action: Action,
             [mu, jnp.full(sd.shape, p.mu * p.mu)], axis=-1)
     dv, lam = contacts_mod.solve_contacts(model, Minv, J, v_pred, cons, dt,
                                           normals, mu, lam_warm=lam_warm)
-    vel = v_pred + dv
+    return dv, lam
 
-    # Semi-implicit Euler integration
+
+def integrate(model: PhysicsModel, state: SimState, vel, dt):
+    """Semi-implicit Euler integration with the post-contact velocity."""
     om = joint_omega(model, SimState(state.root_p, state.root_q,
                                      state.joint_q, vel))
-    new_state = SimState(
+    return SimState(
         root_p=state.root_p + dt * vel[..., 0:3],
         root_q=quat.integrate_world(state.root_q, vel[..., 3:6], dt),
         joint_q=quat.integrate(state.joint_q, om, dt),
         vel=vel,
     )
+
+
+def substep(model: PhysicsModel, state: SimState, action: Action,
+            Minv=None, ground_height=0.0, obstacles=None, lam_warm=None,
+            refine_iters=None, refine_bf16=None):
+    """One physics substep at dt_sim (480 Hz for the loco config).
+
+    Minv: warm-start inverse of the damped mass matrix from the previous
+    substep; None -> cold inverse (NS or Cholesky per SimParams).
+    obstacles: optional ObstacleState pool, coupled to the character and
+    ballistically integrated in presolve (the reference steps obstacle
+    bodies in the same stepSimulation, envs/env_humanoid_tracking.py:
+    393-407).  lam_warm: previous substep's contact impulses (warm start).
+    Returns (state, Minv, obstacles, lam).
+    """
+    k, Minv, v_pred, obstacles = substep_presolve(
+        model, state, action, Minv, ground_height, obstacles,
+        refine_iters, refine_bf16)
+    dv, lam = solve_ground_self(model, k, Minv, v_pred, ground_height,
+                                lam_warm)
+    new_state = integrate(model, state, v_pred + dv, model.params.dt_sim)
     return new_state, Minv, obstacles, lam
 
 
@@ -338,6 +371,43 @@ def control_step(model: PhysicsModel, state: SimState, action: Action,
     if obstacles is None:
         return state
     return state, obstacles2
+
+
+def control_step_carry(model: PhysicsModel, state: SimState, action: Action,
+                       Minv0, ground_height=0.0, obstacles=None,
+                       seed_refine_iters: int = 3):
+    """control_step with a CARRIED inverse: no cold factorization at all.
+
+    Minv0 is a seed inverse of the damped mass matrix — either last control
+    step's refined inverse (33 ms stale) or, right after an RSI reset, a
+    per-frame precomputed entry gathered from the motion DB (bf16 is fine).
+    The first substep runs `seed_refine_iters` f32 Newton–Schulz refinements
+    (measured: table seeds reach resid 5e-4 by iter 3; same-episode seeds
+    are much closer), then the usual warm chain.  This replaces the
+    per-control-step cold NS/Cholesky — ~20% of device time in the r3
+    trace — with ~6 matmuls.
+
+    Returns (state, Minv_final, obstacles).  Callers that cannot provide a
+    seed (plain tracking, fidelity fixtures, non-spd modes) should use
+    control_step, which cold-starts.
+    """
+    state, Minv, obstacles2, lam = substep(
+        model, state, action, Minv0.astype(jnp.float32), ground_height,
+        obstacles, refine_iters=seed_refine_iters, refine_bf16=False)
+
+    def cast_carry(Mi):
+        return Mi.astype(jnp.bfloat16) if _bf16_inverse_ok(model) else Mi
+
+    def body(carry, _):
+        st, Mi, ob, lm = carry
+        st, Mi, ob, lm = substep(model, st, action, Mi, ground_height, ob,
+                                 lam_warm=lm)
+        return (st, cast_carry(Mi), ob, lm), None
+
+    (state, Minv, obstacles2, _), _ = jax.lax.scan(
+        body, (state, cast_carry(Minv), obstacles2, lam), None,
+        length=model.params.num_substeps - 1)
+    return state, Minv, obstacles2
 
 
 def check_ground_contact(model: PhysicsModel, state: SimState,

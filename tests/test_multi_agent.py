@@ -93,7 +93,7 @@ def test_coupled_impulse_newton_third_law(setup):
 
     con = multi_agent.detect_agent_contacts(model, k0, k1, 8)
     assert float(con.depth.max()) > 0.0   # overlap detected
-    dv0, dv1 = multi_agent.solve_agent_contacts(
+    dv0, dv1, _ = multi_agent.solve_agent_contacts(
         model, minv(s0, k0), minv(s1, k1), k0, k1, s0.vel, s1.vel, con, dt)
 
     m = jnp.asarray(model.mass)
@@ -128,3 +128,41 @@ def test_tracking_env_multi_agent():
     assert st.sim.root_p.shape == (2, 3)
     assert np.isfinite(np.asarray(st.sim.vel)).all()
     assert not bool(env.check_falldown(st).any())
+
+
+def test_scene_momentum_conserved_through_collision(setup):
+    """r2 VERDICT: inter-agent impulses used to apply AFTER positions
+    integrated ("phantom momentum").  Now they act on v_pred inside the
+    substep, so horizontal momentum of a mid-air two-agent collision is
+    conserved through a full control step (gravity only affects the
+    vertical axis)."""
+    model, root_p, root_q, joint_q = setup
+    sts = _pair_state(model, root_p, root_q, joint_q, dx=0.25, h=3.0)
+    # drive them into each other at +-1 m/s along x
+    v = jnp.zeros((2, model.nv))
+    v = v.at[0, 0].set(1.0).at[1, 0].set(-1.0)
+    sts = state_mod.SimState(sts.root_p, sts.root_q, sts.joint_q, v)
+    act1 = step_mod.Action(target_q=joint_q,
+                           target_w=jnp.zeros((model.num_joints, 3)))
+    acts = jax.tree.map(lambda x: jnp.stack([x, x]), act1)
+
+    m = jnp.asarray(model.mass)
+
+    def px(states):
+        k = jax.vmap(lambda s: fk_mod.fk(model, s))(states)
+        return float(jnp.sum(m[None, :, None] * k.body_vcom,
+                             axis=(0, 1, 2)))  # scene-total momentum sum
+
+    def px_axis(states, axis=0):
+        k = jax.vmap(lambda s: fk_mod.fk(model, s))(states)
+        return float(jnp.sum(m[None, :, None] * k.body_vcom[..., axis]
+                             [..., None], axis=(0, 1, 2)))
+
+    p0 = px_axis(sts, 0)
+    out = multi_agent.scene_step(model, sts, acts)
+    p1 = px_axis(out, 0)
+    # each agent carries ~45 kg m/s; conservation within 1%
+    scale = float(jnp.sum(m)) * 1.0
+    assert abs(p1 - p0) < 0.01 * scale, (p0, p1, scale)
+    # and they actually collided (velocities changed sign/slowed)
+    assert float(out.vel[0, 0]) < 0.9
