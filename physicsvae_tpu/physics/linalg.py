@@ -117,6 +117,39 @@ def topk_rank(x, K: int):
     return vals, idx, onehot
 
 
+def topk_rank_2stage(x, K: int, chunk: int = 64):
+    """Exact top-K for large P via hierarchical ranking.
+
+    Stage 1 ranks within ceil(P/chunk) chunks and keeps each chunk's top-K
+    (the global top-K must be among them); stage 2 ranks the finalists.
+    The (.., P, P) comparison of the flat ranking shrinks to
+    ceil(P/chunk) * chunk^2 + (n_chunks*K)^2 — ~4x fewer comparisons for
+    the 263-pair self-collision list.  Returns (vals, idx, onehot) like
+    topk_rank, with onehot over the ORIGINAL P.
+    """
+    P = x.shape[-1]
+    n_chunks = -(-P // chunk)
+    if n_chunks <= 1 or n_chunks * K >= P:
+        return topk_rank(x, K)
+    pad = n_chunks * chunk - P
+    neg = jnp.finfo(x.dtype).min
+    xp = jnp.concatenate(
+        [x, jnp.full(x.shape[:-1] + (pad,), neg, x.dtype)], axis=-1) \
+        if pad else x
+    xc = xp.reshape(x.shape[:-1] + (n_chunks, chunk))
+    v1, i1, _ = topk_rank(xc, K)                     # (...,n_chunks,K)
+    base = (jnp.arange(n_chunks) * chunk)[:, None]
+    gidx = (i1 + base).reshape(x.shape[:-1] + (n_chunks * K,))
+    flat = v1.reshape(x.shape[:-1] + (n_chunks * K,))
+    v2, i2, oh2 = topk_rank(flat, K)                 # over finalists
+    # map finalist positions back to original indices
+    idx = jnp.einsum("...kf,...f->...k", oh2,
+                     gidx.astype(jnp.float32)).astype(jnp.int32)
+    onehot = (idx[..., :, None]
+              == jnp.arange(P)[None, :]).astype(jnp.float32)
+    return v2, idx, onehot
+
+
 def topk_argmax(x, K: int):
     """Exact top-K via K iterated argmax sweeps.
 

@@ -45,12 +45,14 @@ class SimParams:
     actuation: str = "spd"
     self_collision: bool = True  # physics_param self_collision (spec)
     num_self_contacts: int = 8   # top-K2 self-contact buffer
-    # APGD iterations (Bullet runs 10 GS; 16 APGD matches 24 on the Coulomb
-    # fidelity fixtures — static slip 0.28 mm/s, kinetic error 0.05%)
-    apgd_iters: int = 16
+    # APGD iterations (Bullet runs 10 GS).  With the per-contact Jacobi
+    # preconditioner 10 cold / 5 warm iterations hold the Coulomb fidelity
+    # fixtures (static slip / kinetic error thresholds unchanged from the
+    # 16/8 unpreconditioned setting).
+    apgd_iters: int = 10
     # iterations when warm-started from the previous substep's impulses
     # (Bullet warm-starts its sequential impulses the same way)
-    apgd_warm_iters: int = 8
+    apgd_warm_iters: int = 5
     ns_iters: int = 1            # Newton–Schulz refinements per warm substep
     # Per-control-step cold inverse: "ns" = factorization-free Newton–
     # Schulz from the Pan–Schreiber seed (pure MXU matmuls, ~3x faster

@@ -145,6 +145,69 @@ def update(obs: ObstacleState, dt, gravity_vec, v_up=(0.0, 1.0, 0.0),
                          mass=obs.mass, ttl=ttl, next_slot=obs.next_slot)
 
 
+class ObstacleContacts:
+    """One candidate contact per obstacle slot (deepest character point)."""
+
+    def __init__(self, pos, normal, depth, body, point_idx, active,
+                 inv_mass, v_obs):
+        self.pos = pos            # (...,S,3) world contact point
+        self.normal = normal      # (...,S,3) push direction on the char
+        self.depth = depth        # (...,S) penetration (>0 overlapping)
+        self.body = body          # (...,S) struck character body
+        self.point_idx = point_idx
+        self.active = active      # (...,S)
+        self.inv_mass = inv_mass  # (...,S) 1/m_obstacle (0 inactive)
+        self.v_obs = v_obs        # (...,S,3) obstacle velocity
+
+
+def detect_obstacle_contacts(model: PhysicsModel, obs: ObstacleState, k_fk):
+    """Narrow phase vs the obstacle's ACTUAL shape: sphere by center
+    distance, box by its axis-aligned SDF (thrown boxes do not spin in
+    this engine) — no more bounding-sphere corners.  The deepest character
+    candidate point per slot becomes a contact row for the unified APGD
+    solve (Bullet resolves obstacle contacts in the same solver,
+    sim_obstacle.py + stepSimulation)."""
+    from .fk import contact_point_positions
+
+    x, _ = contact_point_positions(model, k_fk)          # (...,NP,3)
+    r_p = jnp.asarray(model.point_radius)                # (NP,)
+    d = x[..., None, :, :] - obs.pos[..., :, None, :]    # (...,S,NP,3)
+
+    # signed distance from each point to the obstacle surface
+    q = jnp.abs(d) - obs.half_extents[..., :, None, :]
+    outside = jnp.maximum(q, 0.0)
+    dist_out = jnp.linalg.norm(outside, axis=-1)
+    dist_in = jnp.minimum(jnp.max(q, axis=-1), 0.0)
+    sdf_box = dist_out + dist_in
+    dist_c = jnp.linalg.norm(d, axis=-1)
+    sdf_sph = dist_c - obs.radius[..., :, None]
+    is_box = (obs.shape == SHAPE_BOX)[..., :, None]
+    sdf = jnp.where(is_box, sdf_box, sdf_sph)
+    pen = r_p - sdf                                      # (...,S,NP)
+
+    # normals: sphere radial; box face/edge normal (outside) or closest
+    # face (inside)
+    sgn = jnp.sign(d)
+    n_out = outside * sgn / jnp.maximum(dist_out[..., None], 1e-9)
+    face = jax.nn.one_hot(jnp.argmax(q, axis=-1), 3, dtype=d.dtype)
+    n_in = face * sgn
+    n_box = jnp.where((dist_out > 0)[..., None], n_out, n_in)
+    n_sph = d / jnp.maximum(dist_c[..., None], 1e-9)
+    normal = jnp.where(is_box[..., None], n_box, n_sph)
+
+    j = jnp.argmax(pen, axis=-1)                         # (...,S)
+    take3 = lambda arr: jnp.take_along_axis(
+        arr, j[..., None, None], axis=-2)[..., 0, :]
+    depth = jnp.take_along_axis(pen, j[..., None], axis=-1)[..., 0]
+    active = (depth > 0.0) & (obs.ttl > 0.0)
+    inv_mass = jnp.where(active, 1.0 / jnp.maximum(obs.mass, 1e-6), 0.0)
+    return ObstacleContacts(
+        pos=take3(jnp.broadcast_to(x[..., None, :, :], d.shape)),
+        normal=take3(normal), depth=jnp.where(active, depth, -1.0),
+        body=jnp.asarray(model.point_body)[j], point_idx=j,
+        active=active, inv_mass=inv_mass, v_obs=obs.vel)
+
+
 def impulses_on_character(model: PhysicsModel, obs: ObstacleState,
                           k_fk, vel_gen, Minv, dt):
     """Obstacle->character coupling: treat an overlapping obstacle as an

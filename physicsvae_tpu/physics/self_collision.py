@@ -133,10 +133,10 @@ def detect_self_contacts(model: PhysicsModel, k_fk):
     normal = d / jnp.maximum(dist[..., None], 1e-8)
     pos = 0.5 * (x1 + x2)
 
-    from .linalg import topk_rank
+    from .linalg import topk_rank_2stage
 
     K2 = model.params.num_self_contacts
-    dd, idx, oh = topk_rank(depth, K2)
+    dd, idx, oh = topk_rank_2stage(depth, K2)
 
     # ONE coalesced one-hot-matmul gather of all per-pair features instead
     # of separate vec3 take_along_axis calls (tiny-minor-dim gathers

@@ -256,23 +256,23 @@ def substep_presolve(model: PhysicsModel, state: SimState, action: Action,
         v_pred = v_pred + servo_delta_v(model, state, action, v_pred, Minv,
                                         dt, mode)
 
-    if obstacles is not None:
-        from . import obstacles as obstacles_mod
-        dv_obs, obstacles = obstacles_mod.impulses_on_character(
-            model, obstacles, k, v_pred, Minv, dt)
-        v_pred = v_pred + dv_obs
-        gvec = p.gravity * jnp.asarray(model.v_up_env)
-        obstacles = obstacles_mod.update(obstacles, dt, gvec,
-                                         v_up=model.v_up_env,
-                                         ground_height=ground_height)
-
+    # NOTE: dynamic obstacles now couple through the unified contact solve
+    # (solve_ground_self) rather than an ad-hoc impulse exchange here.
     return k, Minv, v_pred, obstacles
 
 
 def solve_ground_self(model: PhysicsModel, k, Minv, v_pred,
-                      ground_height=0.0, lam_warm=None):
-    """Ground + self-collision contact assembly and APGD solve on the
-    predicted velocity.  Returns (dv, lam)."""
+                      ground_height=0.0, lam_warm=None, obstacles=None):
+    """Ground + self-collision (+ dynamic obstacle) contact assembly and
+    ONE unified APGD solve on the predicted velocity.
+
+    Obstacle contacts add Jacobian rows against the 6-dof free body
+    (extra 1/m I3 on their Delassus diagonal; relative-velocity offset),
+    exactly like Bullet resolving character and obstacles in the same
+    sequential-impulse solve.  Returns (dv, lam) or, with obstacles,
+    (dv, lam, obstacles') where the pool's velocities carry the reaction
+    impulses -lam/m.
+    """
     p = model.params
     dt = p.dt_sim
 
@@ -301,9 +301,42 @@ def solve_ground_self(model: PhysicsModel, k, Minv, v_pred,
         # Bullet combines friction multiplicatively: char-char = mu^2
         mu = jnp.concatenate(
             [mu, jnp.full(sd.shape, p.mu * p.mu)], axis=-1)
+
+    extra_inv_mass = vc_offset = None
+    n_char_rows = cons.depth.shape[-1]
+    if obstacles is not None:
+        from . import obstacles as obstacles_mod
+        oc = obstacles_mod.detect_obstacle_contacts(model, obstacles, k)
+        oc_cons = contacts_mod.Contacts(
+            pos=oc.pos, depth=oc.depth, active=oc.active, body=oc.body,
+            point_idx=oc.point_idx)
+        Jo = contacts_mod.contact_jacobian(model, k, oc_cons)
+        J = jnp.concatenate([J, Jo], axis=-3)
+        normals = jnp.concatenate([normals, oc.normal], axis=-2)
+        zeros_c = jnp.zeros(cons.depth.shape, dtype=v_pred.dtype)
+        extra_inv_mass = jnp.concatenate([zeros_c, oc.inv_mass], axis=-1)
+        vc_offset = jnp.concatenate(
+            [jnp.zeros(cons.depth.shape + (3,), v_pred.dtype), oc.v_obs],
+            axis=-2)
+        mu = jnp.concatenate([mu, jnp.full(oc.depth.shape, p.mu)], axis=-1)
+        cons = contacts_mod.Contacts(
+            pos=jnp.concatenate([cons.pos, oc.pos], axis=-2),
+            depth=jnp.concatenate([cons.depth, oc.depth], axis=-1),
+            active=jnp.concatenate([cons.active, oc.active], axis=-1),
+            body=jnp.concatenate([cons.body, oc.body], axis=-1),
+            point_idx=jnp.concatenate([cons.point_idx, oc.point_idx],
+                                      axis=-1))
+
     dv, lam = contacts_mod.solve_contacts(model, Minv, J, v_pred, cons, dt,
-                                          normals, mu, lam_warm=lam_warm)
-    return dv, lam
+                                          normals, mu, lam_warm=lam_warm,
+                                          extra_inv_mass=extra_inv_mass,
+                                          vc_offset=vc_offset)
+    if obstacles is None:
+        return dv, lam
+    import dataclasses as _dc
+    lam_o = lam[..., n_char_rows:, :]
+    new_vel = obstacles.vel - lam_o * oc.inv_mass[..., None]
+    return dv, lam, _dc.replace(obstacles, vel=new_vel)
 
 
 def integrate(model: PhysicsModel, state: SimState, vel, dt):
@@ -334,8 +367,17 @@ def substep(model: PhysicsModel, state: SimState, action: Action,
     k, Minv, v_pred, obstacles = substep_presolve(
         model, state, action, Minv, ground_height, obstacles,
         refine_iters, refine_bf16)
-    dv, lam = solve_ground_self(model, k, Minv, v_pred, ground_height,
-                                lam_warm)
+    if obstacles is not None:
+        from . import obstacles as obstacles_mod
+        dv, lam, obstacles = solve_ground_self(
+            model, k, Minv, v_pred, ground_height, lam_warm, obstacles)
+        gvec = model.params.gravity * jnp.asarray(model.v_up_env)
+        obstacles = obstacles_mod.update(obstacles, model.params.dt_sim,
+                                         gvec, v_up=model.v_up_env,
+                                         ground_height=ground_height)
+    else:
+        dv, lam = solve_ground_self(model, k, Minv, v_pred, ground_height,
+                                    lam_warm)
     new_state = integrate(model, state, v_pred + dv, model.params.dt_sim)
     return new_state, Minv, obstacles, lam
 
