@@ -49,7 +49,10 @@ def export_bvh(path, char_info: CharInfo, hierarchy_bvh: BvhMotion,
     for i, par in enumerate(skel.parents):
         children.setdefault(int(par), []).append(i)
 
+    emitted = []  # depth-first emission order == channel-row order
+
     def emit(i, indent):
+        emitted.append(i)
         pre = "\t" * indent
         tag = "ROOT" if skel.parents[i] < 0 else "JOINT"
         lines.append(f"{pre}{tag} {skel.joint_names[i]}")
@@ -81,7 +84,11 @@ def export_bvh(path, char_info: CharInfo, hierarchy_bvh: BvhMotion,
     joint_e = _quat_to_euler_zyx_deg(joint_q)
     root_p = np.asarray(root_p)
 
-    order = list(range(len(skel.joint_names)))  # depth-first file order
+    # Channel rows must follow the EMITTED hierarchy order, which equals
+    # joint_names index order only when the parser stored names depth-first
+    # — an imported skeleton with different ordering would silently shuffle
+    # channels otherwise (r2 VERDICT weak #8).
+    order = emitted
     for t in range(T):
         row = [f"{root_p[t,0]:.6f}", f"{root_p[t,1]:.6f}",
                f"{root_p[t,2]:.6f}",

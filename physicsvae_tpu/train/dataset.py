@@ -83,11 +83,42 @@ def save_demo_dataset(path, episodes, dims, exp_std, iter_per_episode):
     return path
 
 
+EPSILON = 1e-10
+
+
+class Standardizer:
+    """Per-feature mean/std standardization (DatasetBase normalize_x/y,
+    reference torch_models.py:39-95).  The reference disables it for
+    PhysicsVAE (train_physics_vae.py:164), but the option is part of the
+    supervised-training surface."""
+
+    def __init__(self, data):
+        self.mean = np.mean(data, axis=0)
+        self.std = np.std(data, axis=0)
+
+    def preprocess(self, x):
+        return (x - self.mean) / (self.std + EPSILON)
+
+    def postprocess(self, x):
+        return self.mean + x * self.std
+
+
 class Batches:
     """Shuffled minibatch iterator (epoch semantics like the reference's
-    DataLoader, torch_models.py:131-145)."""
+    DataLoader, torch_models.py:131-145).
 
-    def __init__(self, X, Y, batch_size, seed=0):
+    normalize_x / normalize_y standardize features per the reference's
+    DatasetBase; the fitted Standardizers are exposed as x_norm / y_norm
+    for postprocessing model outputs."""
+
+    def __init__(self, X, Y, batch_size, seed=0, normalize_x=False,
+                 normalize_y=False):
+        self.x_norm = Standardizer(X) if normalize_x else None
+        self.y_norm = Standardizer(Y) if normalize_y else None
+        if self.x_norm is not None:
+            X = self.x_norm.preprocess(X)
+        if self.y_norm is not None:
+            Y = self.y_norm.preprocess(Y)
         self.X, self.Y = X, Y
         self.batch_size = batch_size
         self.rng = np.random.default_rng(seed)

@@ -50,6 +50,11 @@ def arg_parser():
     p.add_argument("--TE_depth", type=int, default=2)
     p.add_argument("--world_model_width", type=int, default=1024)
     p.add_argument("--world_model_depth", type=int, default=2)
+    # DatasetBase normalize_x/normalize_y (torch_models.py:39-95); the
+    # reference passes normalize=False for PhysicsVAE
+    # (train_physics_vae.py:164), so both default off.
+    p.add_argument("--normalize_x", action="store_true")
+    p.add_argument("--normalize_y", action="store_true")
     return p
 
 
@@ -102,7 +107,9 @@ def main(argv=None):
                                        "world_model")
             print("loaded world model from", args.world_model)
 
-        batches = Batches(X, Y, tcfg.batch_size)
+        batches = Batches(X, Y, tcfg.batch_size,
+                          normalize_x=args.normalize_x,
+                          normalize_y=args.normalize_y)
         log_path = os.path.join(trial_dir, "progress.jsonl")
         final = None
         for it in range(args.max_iter):
