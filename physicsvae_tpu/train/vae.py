@@ -38,6 +38,16 @@ class VAETrainConfig:
     a_rec_coeff: float = 1.0
     s_rec_coeff: float = 0.0
     vae_cycle_coeff: float = 1e-3
+    # Anti-collapse options (opt-in; both off reproduce the reference
+    # loss exactly).  kl_anneal_iters: the KL coefficient ramps linearly
+    # 0 -> vae_kl_coeff over the first N epochs of the cVAE phase
+    # (beta-annealing).  kl_free_bits: per-latent-dim KL floor in nats —
+    # dims whose KL is below the floor contribute the floor, so the
+    # optimizer has no gradient incentive to squeeze them further
+    # (Kingma et al. free bits).  r2 post-mortem: the abbreviated schedule
+    # with kl_coeff=1.0 collapsed the latent (KL -> 3e-5).
+    kl_anneal_iters: int = 0
+    kl_free_bits: float = 0.0
 
 
 def phase_coeffs(cfg: VAETrainConfig, world_phase: bool):
@@ -83,19 +93,26 @@ def make_optimizer(cfg: VAETrainConfig, world_phase: bool,
         trainable_labels(world_phase))
 
 
-def kl_loss(prior_type, aux):
-    """KL / prior losses (train_physics_vae.py:383-409)."""
+def kl_loss(prior_type, aux, free_bits: float = 0.0):
+    """KL / prior losses (train_physics_vae.py:383-409).
+
+    free_bits > 0 floors each latent dim's KL (gaussian priors only):
+    sum_i max(kl_i, free_bits) — collapsed dims stop producing gradient.
+    """
+    def _fb(kl_per_dim):
+        if free_bits > 0.0:
+            kl_per_dim = jnp.maximum(kl_per_dim, free_bits)
+        return jnp.mean(jnp.sum(kl_per_dim, axis=-1))
+
     if prior_type == "normal_zero_mean_one_std":
         mu, logvar = aux["mu"], aux["logvar"]
-        return jnp.mean(
-            -0.5 * jnp.sum(1 + logvar - mu ** 2 - jnp.exp(logvar), axis=-1))
+        return _fb(-0.5 * (1 + logvar - mu ** 2 - jnp.exp(logvar)))
     if prior_type == "normal_state_mean_one_std":
         mu1, logvar1 = aux["mu"], aux["logvar"]
         mu2 = aux["prior_mu"]
         # KL(N(mu1,var1) || N(mu2,1)) summed over dims, mean over batch
         var1 = jnp.exp(logvar1)
-        kl = 0.5 * ((mu1 - mu2) ** 2 + var1 - logvar1 - 1.0)
-        return jnp.mean(jnp.sum(kl, axis=-1))
+        return _fb(0.5 * ((mu1 - mu2) ** 2 + var1 - logvar1 - 1.0))
     if prior_type == "hypersphere_uniform":
         # alignment penalty with a random prior direction
         mu1, mu2 = aux["mu"], aux["prior_mu"]
@@ -109,7 +126,7 @@ def make_loss_fn(model: PhysicsVAE, cfg: VAETrainConfig):
     dim_a = mcfg.dim_action
     prior = mcfg.latent_prior_type
 
-    def loss_fn(params, constants, x, y, rng, coeffs):
+    def loss_fn(params, constants, x, y, rng, coeffs, kl_scale=1.0):
         """x: (B, lookahead, 2*dim_sb); y: (B, lookahead, dim_a).
 
         Multi-step rollout through the world model: s1 for step t+1 is the
@@ -127,7 +144,8 @@ def make_loss_fn(model: PhysicsVAE, cfg: VAETrainConfig):
             y_pred = logits[..., :dim_a]
 
             loss_a += jnp.mean((y_gt - y_pred) ** 2)
-            loss_kl += kl_loss(prior, aux) if prior else 0.0
+            loss_kl += kl_loss(prior, aux, cfg.kl_free_bits) if prior \
+                else 0.0
             # world model supervised on ground-truth action
             if coeffs["s_rec"] > 0.0:
                 s2_pred_gt = model.apply(
@@ -139,7 +157,7 @@ def make_loss_fn(model: PhysicsVAE, cfg: VAETrainConfig):
 
         n = float(cfg.lookahead)
         total = (coeffs["a_rec"] * loss_a / n
-                 + coeffs["kl"] * loss_kl / n
+                 + coeffs["kl"] * kl_scale * loss_kl / n
                  + coeffs["s_rec"] * loss_s / n
                  + coeffs["cyc"] * loss_cyc / n)
         metrics = {"loss": total, "loss_a": loss_a / n, "loss_kl": loss_kl / n,
@@ -178,10 +196,10 @@ class VAETrainer:
         self.coeffs = phase_coeffs(self.cfg, world_phase)
         coeffs = dict(self.coeffs)
 
-        def _step(params, opt_state, constants, x, y, rng):
+        def _step(params, opt_state, constants, x, y, rng, kl_scale):
             (loss, metrics), grads = jax.value_and_grad(
                 self.loss_fn, has_aux=True)(
-                    params, constants, x, y, rng, coeffs)
+                    params, constants, x, y, rng, coeffs, kl_scale)
             updates, opt_state = self.tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return params, opt_state, metrics
@@ -199,11 +217,19 @@ class VAETrainer:
         if not hasattr(self, "_steps_per_epoch"):
             self._steps_per_epoch = max(1, len(batches.X) // batches.batch_size)
             self._build(self.world_phase)
+        # beta-annealing: KL coefficient ramps over the first
+        # kl_anneal_iters epochs of the cVAE phase (opt-in)
+        if self.cfg.kl_anneal_iters > 0 and not self.world_phase:
+            in_phase = self.iter - self.cfg.max_iter_world_model
+            kl_scale = min(1.0, max(in_phase, 1) / self.cfg.kl_anneal_iters)
+        else:
+            kl_scale = 1.0
+        kl_scale = jnp.asarray(kl_scale, jnp.float32)
         for x, y in batches.epoch():
             self.rng, sub = jax.random.split(self.rng)
             self.params, self.opt_state, metrics = self._step_jit(
                 self.params, self.opt_state, self.constants,
-                jnp.asarray(x), jnp.asarray(y), sub)
+                jnp.asarray(x), jnp.asarray(y), sub, kl_scale)
             losses.append(metrics)
         mean = {k: float(np.mean([float(m[k]) for m in losses]))
                 for k in losses[0]}

@@ -55,6 +55,12 @@ def arg_parser():
     # (train_physics_vae.py:164), so both default off.
     p.add_argument("--normalize_x", action="store_true")
     p.add_argument("--normalize_y", action="store_true")
+    # anti-collapse opt-ins (train/vae.py VAETrainConfig)
+    p.add_argument("--vae_kl_anneal_iters", type=int, default=0,
+                   help="ramp the KL coefficient over the first N cVAE "
+                        "epochs (beta-annealing; 0 = reference loss)")
+    p.add_argument("--vae_free_bits", type=float, default=0.0,
+                   help="per-latent-dim KL floor in nats (0 = off)")
     return p
 
 
@@ -100,7 +106,9 @@ def main(argv=None):
             lr=args.lr, lr_schedule=args.lr_schedule,
             batch_size=args.batch_size, max_iter=args.max_iter,
             max_iter_world_model=args.max_iter_world_model,
-            lookahead=args.lookahead, vae_kl_coeff=kl, vae_cycle_coeff=cyc)
+            lookahead=args.lookahead, vae_kl_coeff=kl, vae_cycle_coeff=cyc,
+            kl_anneal_iters=args.vae_kl_anneal_iters,
+            kl_free_bits=args.vae_free_bits)
         tr = VAETrainer(mcfg, tcfg, jax.random.PRNGKey(0))
         if args.world_model:
             tr.params = load_component(args.world_model, tr.params,

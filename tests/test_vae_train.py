@@ -168,3 +168,44 @@ def test_checkpoint_roundtrip(tmp_path):
     for a, b in zip(jax.tree.leaves(grafted["motor_decoder"]),
                     jax.tree.leaves(tr.params["motor_decoder"])):
         assert np.allclose(np.asarray(a), np.asarray(b))
+
+
+def test_kl_free_bits_floor():
+    """Collapsed posterior (KL ~ 0) is floored at free_bits * latent_dim."""
+    import jax.numpy as jnp
+    from physicsvae_tpu.train.vae import kl_loss
+
+    aux = {"mu": jnp.zeros((4, 8)), "logvar": jnp.zeros((4, 8))}
+    assert float(kl_loss("normal_zero_mean_one_std", aux)) == 0.0
+    floored = float(kl_loss("normal_zero_mean_one_std", aux, free_bits=0.1))
+    assert abs(floored - 0.8) < 1e-6  # 8 dims * 0.1 nats
+
+
+def test_kl_annealing_schedule():
+    """kl_scale ramps 0 -> 1 over kl_anneal_iters epochs of the cVAE
+    phase; epochs inside the WM phase do not consume the ramp."""
+    import jax
+    import numpy as np
+    from physicsvae_tpu.models.physics_vae import PhysicsVAEConfig
+    from physicsvae_tpu.train.dataset import Batches
+    from physicsvae_tpu.train.vae import VAETrainConfig, VAETrainer
+
+    from physicsvae_tpu.models.fc import default_fc_layers
+    mcfg = PhysicsVAEConfig(dim_state_body=6, dim_state_task=6,
+                            dim_action=4,
+                            task_encoder_layers=tuple(default_fc_layers(8, 1)),
+                            motor_decoder_layers=tuple(default_fc_layers(8, 1)),
+                            world_model_layers=tuple(default_fc_layers(8, 1)),
+                            task_encoder_output_dim=3)
+    tcfg = VAETrainConfig(batch_size=4, max_iter=6, max_iter_world_model=2,
+                          kl_anneal_iters=2, lookahead=1)
+    tr = VAETrainer(mcfg, tcfg, jax.random.PRNGKey(0))
+    X = np.random.RandomState(0).randn(8, 1, 12).astype(np.float32)
+    Y = np.random.RandomState(1).randn(8, 1, 4).astype(np.float32)
+    b = Batches(X, Y, 4)
+    kls = []
+    for _ in range(5):
+        m = tr.train_epoch(b)
+        kls.append(m["loss_kl"])
+    # epochs 3-4 are the first cVAE epochs: training runs and stays finite
+    assert all(np.isfinite(k) for k in kls)
