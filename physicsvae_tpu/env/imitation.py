@@ -504,7 +504,11 @@ class ImitationEnv:
         Pipeline parity: envs/env_humanoid_base.py:534-675.
         """
         st2, reward, done, info = self.step_core(st, action, timesteps_total)
-        return st2, self.observe(st2), reward, done, info
+        # a sim_div state is done and will be reset by the caller; keep its
+        # terminal observation finite for any consumer in between
+        obs = self.observe(st2)
+        obs = jnp.where(jnp.isfinite(obs), obs, 0.0)
+        return st2, obs, reward, done, info
 
     def step_core(self, st: EnvState, action, timesteps_total=0.0):
         """step without the observation build (autoreset composes it with a
@@ -563,6 +567,10 @@ class ImitationEnv:
 
         error = self._task_error(sim, kin, k_sim, k_kin)
         reward, rew_info = self.reward_fn(error, timesteps_total)
+        # a diverged sim must never leak NaN into returns/losses: its
+        # reward is 0 and (below) it terminates immediately, skipping the
+        # eoe grace window
+        reward = jnp.where(jnp.isfinite(reward), reward, 0.0)
 
         # --- early termination (envs/env_humanoid_base.py:1003-1035 +
         #     envs/env_humanoid_imitation.py:369-395) ---
@@ -617,6 +625,9 @@ class ImitationEnv:
         time_after_eoe = jnp.where(
             eoe_intermediate, st.time_after_eoe + self.dt_con, 0.0)
         done = eoe_intermediate & (time_after_eoe >= cfg.et_eoe_margin)
+        # numerical divergence terminates NOW — the grace period would
+        # keep stepping (and observing) a non-finite simulation
+        done = done | eoe_flags["sim_div"]
         # rllib-style horizon cap (loco_imitation.yaml:43-44): hard
         # termination at `horizon` control steps, bypassing the eoe grace.
         if self.horizon is not None:

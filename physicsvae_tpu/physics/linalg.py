@@ -87,7 +87,20 @@ def ns_refine(M, X, iters: int = 2, bf16: bool = False):
         MX = mm(M, X)
         X = 2.0 * X.astype(acc) - mm(X, MX)
         X = (0.5 * (X + jnp.swapaxes(X, -1, -2))).astype(out_dtype)
-    return X
+
+    # Self-healing guard: NS DIVERGES (quadratically) when the seed is too
+    # stale for the current pose — e.g. a carried inverse on a lane whose
+    # sim is flying apart.  A blown-up lane gets the Jacobi diagonal
+    # inverse instead: bounded, SPD, and wrong — which is fine, because
+    # such lanes hit the sim_div early termination and reset.  Healthy
+    # lanes are untouched (legit damped-mass inverses have entries << 1e4;
+    # the damping floor bounds ||M_hat^-1|| by ~10).
+    bad = (~jnp.isfinite(X).all(axis=(-2, -1))
+           | (jnp.max(jnp.abs(X), axis=(-2, -1)) > 1e4))
+    d = jnp.diagonal(M, axis1=-2, axis2=-1).astype(out_dtype)
+    fallback = (jnp.eye(X.shape[-1], dtype=out_dtype)
+                / jnp.maximum(jnp.abs(d), 1e-9)[..., None, :])
+    return jnp.where(bad[..., None, None], fallback, X)
 
 
 def topk_rank(x, K: int):
