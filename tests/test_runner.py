@@ -49,3 +49,39 @@ def test_runner_full_and_pass_through(env, model_vars):
     runner.reset()
     rews = runner.run_episode(max_steps=3)
     assert len(rews) >= 1
+
+
+def test_runtime_repl_scripted(env, model_vars, tmp_path):
+    """The interactive runtime loop (reference keyboard surface
+    envs/rllib_env_imitation.py:383-460) driven by a scripted command
+    stream: autoplay, toggle, record, save/load/render replay."""
+    import io
+    import os
+
+    from physicsvae_tpu.runtime.repl import Replay, RuntimeREPL
+
+    model, variables = model_vars
+    runner = EnvRunner(env, model, variables, rng=jax.random.PRNGKey(2),
+                       explore=False)
+    repl = RuntimeREPL(runner, env)
+    replay_path = str(tmp_path / "replay.npz")
+    gif_path = str(tmp_path / "clip.gif")
+    script = io.StringIO(
+        "a 3\n"
+        "q\n"          # -> pass_through
+        "a 2\n"
+        "e\n"
+        f"L 4\n"
+        f"s {replay_path}\n"
+        "r\n"
+        f"l {replay_path}\n"
+        f"v {gif_path}\n"
+        "i\n"
+        "x\n")
+    repl.run(script)
+    assert runner.policy_eval_method == "pass_through"
+    assert runner.explore is True
+    assert os.path.exists(replay_path)
+    assert os.path.exists(gif_path) and os.path.getsize(gif_path) > 0
+    loaded = Replay.load(replay_path)
+    assert len(loaded.frames) == 4
