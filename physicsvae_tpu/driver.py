@@ -93,6 +93,10 @@ def build_custom_policy(args, spec: dict, env):
     custom = model_cfg.get("custom_model", "fcnn")
     if custom in (None, "fcnn"):
         return None, None, None
+    if custom == "lstm":
+        # recurrent policy (reference LSTM zoo, rllib_model_torch.py:48-158)
+        from .train.ppo import lstm_policy_factory
+        return lstm_policy_factory, None, None
     if custom != "physics_vae":
         raise NotImplementedError(custom)
 

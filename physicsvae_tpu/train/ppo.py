@@ -88,6 +88,40 @@ def make_physics_vae_policy(vae_cfg, variables=None, rng=None):
     return factory
 
 
+def lstm_policy_factory(env, cfg: "PPOConfig", rng):
+    """Policy factory for `custom_model: lstm` (the reference's LSTM layer
+    zoo, rllib_model_torch.py:48-158, trained by rllib PPO via
+    add_time_dimension sequence batching).
+
+    Recurrent protocol: apply_fn threads an explicit (c, h) carry and the
+    factory returns a 4th element init_state_fn(batch_size) -> carry.
+    PPO stores the pre-step carry alongside each transition and updates
+    with the STORED-STATE approximation: minibatch forwards restart from
+    the recorded carry and gradients truncate there (the rllib
+    max_seq_len analog of 1; R2D2-style stored state without burn-in).
+    """
+    from ..models.lstm import LSTMPolicy, LSTMPolicyConfig
+
+    pcfg = LSTMPolicyConfig(dim_state=env.dim_state,
+                            dim_action=env.dim_action,
+                            log_std_type=cfg.log_std_type,
+                            sample_std=cfg.sample_std)
+    policy = LSTMPolicy(pcfg)
+    carry0 = policy.initial_state((1,))
+    variables = policy.init({"params": rng},
+                            jnp.zeros((1, env.dim_state)), carry0)
+
+    def apply_fn(params, constants, obs, rng=None, state=None):
+        v = {"params": params, "constants": constants}
+        return policy.apply(v, obs, state)
+
+    def init_state_fn(batch_size):
+        return policy.initial_state((batch_size,))
+
+    return apply_fn, variables["params"], variables.get("constants", {}), \
+        init_state_fn
+
+
 def compute_gae(rewards, values, dones, last_value, gamma, lam):
     """Generalized advantage estimation over a (T, B) rollout."""
 
@@ -132,7 +166,15 @@ class PPOTrainer:
             env.horizon = int(cfg.horizon)
         rng, sub = jax.random.split(rng)
         factory = policy_factory or _fcnn_policy_factory
-        self._apply_fn, self.params, self.constants = factory(env, cfg, sub)
+        out = factory(env, cfg, sub)
+        if len(out) == 4:  # recurrent policy (see lstm_policy_factory)
+            self._apply_fn, self.params, self.constants, \
+                self._init_state_fn = out
+        else:
+            self._apply_fn, self.params, self.constants = out
+            self._init_state_fn = None
+        self.recurrent = self._init_state_fn is not None
+        self.policy_state = None
         base = optax.adam(cfg.lr) if cfg.grad_clip is None else optax.chain(
             optax.clip_by_global_norm(cfg.grad_clip), optax.adam(cfg.lr))
         if param_label_fn is not None:
@@ -157,21 +199,33 @@ class PPOTrainer:
         obs = jax.vmap(self.env.observe)(st)
         return st, obs
 
-    def policy_forward(self, params, obs, rng=None):
+    def policy_forward(self, params, obs, rng=None, state=None):
+        if self.recurrent:
+            return self._apply_fn(params, self.constants, obs, rng, state)
         return self._apply_fn(params, self.constants, obs, rng)
 
-    def rollout(self, params, env_state, obs, rng, timesteps_total=0.0):
+    def rollout(self, params, env_state, obs, rng, timesteps_total=0.0,
+                policy_state=None):
         """T steps of (policy -> env.step_auto) under lax.scan.
 
         timesteps_total feeds reward weight schedules
-        (envs/env_humanoid_base.py:349-353, :973-976)."""
+        (envs/env_humanoid_base.py:349-353, :973-976).
+        policy_state: recurrent carry (None for feedforward policies);
+        done lanes reset it to the (zero) initial state, and the pre-step
+        carry is stored per transition for stored-state SGD.
+        """
         T = self.cfg.rollout_length
         tt = jnp.asarray(timesteps_total, jnp.float32)
 
         def body(carry, _):
-            st, obs, rng = carry
+            st, obs, ps, rng = carry
             rng, k_act, k_fwd = jax.random.split(rng, 3)
-            logits, value = self.policy_forward(params, obs, k_fwd)
+            if self.recurrent:
+                logits, value, ps2 = self.policy_forward(params, obs, k_fwd,
+                                                         ps)
+            else:
+                logits, value = self.policy_forward(params, obs, k_fwd)
+                ps2 = ps
             action = sample_action(k_act, logits, self.env.dim_action)
             lp = log_prob(logits, self.env.dim_action, action)
             st2, obs2, rew, done, info = jax.vmap(
@@ -181,24 +235,41 @@ class PPOTrainer:
                        ep_return=info.get("episode_return", rew),
                        ep_length=info.get("episode_length",
                                           jnp.ones_like(rew)))
-            return (st2, obs2, rng), out
+            if self.recurrent:
+                out["pstate"] = ps  # carry the policy SAW this step
+                # fresh (zero) state for lanes that just reset
+                mask = (1.0 - done.astype(jnp.float32))
+                ps2 = jax.tree.map(
+                    lambda x: x * mask[(...,) + (None,) * (x.ndim - 1)],
+                    ps2)
+            return (st2, obs2, ps2, rng), out
 
-        (st, obs, rng), traj = jax.lax.scan(
-            body, (env_state, obs, rng), None, length=T)
+        (st, obs, ps, rng), traj = jax.lax.scan(
+            body, (env_state, obs, policy_state, rng), None, length=T)
         rng, k_fwd = jax.random.split(rng)
-        _, last_value = self.policy_forward(params, obs, k_fwd)
+        if self.recurrent:
+            _, last_value, _ = self.policy_forward(params, obs, k_fwd, ps)
+        else:
+            _, last_value = self.policy_forward(params, obs, k_fwd)
         adv, ret = compute_gae(traj["reward"], traj["value"],
                                traj["done"].astype(jnp.float32), last_value,
                                self.cfg.gamma, self.cfg.lam)
         traj["advantage"] = adv
         traj["return"] = ret
-        return st, obs, rng, traj
+        return st, obs, rng, traj, ps
 
     # -- update ---------------------------------------------------------
 
     def _loss(self, params, batch, rng):
         cfg = self.cfg
-        logits, value = self.policy_forward(params, batch["obs"], rng)
+        if self.recurrent:
+            # stored-state forward: restart from the recorded carry,
+            # truncating gradients there (rllib max_seq_len analog of 1)
+            ps = jax.lax.stop_gradient(batch["pstate"])
+            logits, value, _ = self.policy_forward(params, batch["obs"],
+                                                   rng, ps)
+        else:
+            logits, value = self.policy_forward(params, batch["obs"], rng)
         lp = log_prob(logits, self.env.dim_action, batch["action"])
         ratio = jnp.exp(lp - batch["logp"])
         adv = batch["advantage"]
@@ -224,6 +295,9 @@ class PPOTrainer:
         keys = ("obs", "action", "logp", "value", "reward", "done",
                 "advantage", "return")
         flat = {k: traj[k].reshape((N,) + traj[k].shape[2:]) for k in keys}
+        if self.recurrent:
+            flat["pstate"] = jax.tree.map(
+                lambda v: v.reshape((N,) + v.shape[2:]), traj["pstate"])
         # advantage normalization over the full batch
         adv = flat["advantage"]
         if self.mesh_axis:
@@ -245,7 +319,9 @@ class PPOTrainer:
             def minibatch(carry, xs):
                 idx, k_mb = xs
                 params, opt_state = carry
-                batch = {k2: v[idx] for k2, v in flat.items()}
+                batch = {k2: (jax.tree.map(lambda v: v[idx], v)
+                              if k2 == "pstate" else v[idx])
+                         for k2, v in flat.items()}
                 (loss, metrics), grads = jax.value_and_grad(
                     self._loss, has_aux=True)(params, batch, k_mb)
                 if self.mesh_axis:
@@ -270,9 +346,12 @@ class PPOTrainer:
 
     def train_iteration(self, env_state, obs):
         self.rng, k1 = jax.random.split(self.rng)
-        env_state, obs, _, traj = self._rollout_jit(
+        if self.recurrent and self.policy_state is None:
+            self.policy_state = self._init_state_fn(self.cfg.num_envs)
+        env_state, obs, _, traj, self.policy_state = self._rollout_jit(
             self.params, env_state, obs, k1,
-            jnp.asarray(self.timesteps_total, jnp.float32))
+            jnp.asarray(self.timesteps_total, jnp.float32),
+            self.policy_state)
         self.rng, k2 = jax.random.split(self.rng)
         self.params, self.opt_state, _, metrics = self._update_jit(
             self.params, self.opt_state, traj, k2)
