@@ -106,6 +106,80 @@ def _inv3(m):
     return adj * inv_det[..., None, None]
 
 
+def _apgd_xla(A, b, n, t1, t2, act, mu, inv_L, lam0, iters: int,
+              warm: bool):
+    """Reference APGD loop on one (unbatched) contact system — the
+    fallback body of the custom_vmap dispatch below (the Pallas kernel
+    handles the batched case)."""
+    K = act.shape[-1]
+
+    def project(li):
+        ln = jnp.maximum(jnp.einsum("...ki,...ki->...k", li, n), 0.0)
+        lt1 = jnp.einsum("...ki,...ki->...k", li, t1)
+        lt2 = jnp.einsum("...ki,...ki->...k", li, t2)
+        lt = jnp.sqrt(lt1 ** 2 + lt2 ** 2 + 1e-12)
+        scale = jnp.minimum(1.0, mu * ln / jnp.maximum(lt, 1e-9))
+        li = (ln[..., None] * n + (scale * lt1)[..., None] * t1
+              + (scale * lt2)[..., None] * t2)
+        return li * act[..., None]
+
+    Af = A.reshape(A.shape[:-4] + (K * 3, K * 3))
+
+    def mv(lam):
+        return jnp.einsum(
+            "...ij,...j->...i", Af.astype(jnp.bfloat16),
+            lam.reshape(lam.shape[:-2] + (K * 3,)).astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32
+        ).reshape(lam.shape)
+
+    inv_Lr = inv_L[..., None]
+
+    def step(carry, _):
+        lam, y, t = carry
+        g = b + mv(y)
+        lam_new = project(y - inv_Lr * g)
+        t_new = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * t * t))
+        y_new = lam_new + ((t - 1.0) / t_new) * (lam_new - lam)
+        return (lam_new, y_new, t_new), None
+
+    l0 = project(lam0) if warm else lam0
+    (lam, _, _), _ = jax.lax.scan(step, (l0, l0, jnp.asarray(1.0)), None,
+                                  length=iters)
+    return lam
+
+
+_APGD_DISPATCH = {}
+
+
+def _apgd_dispatch(K: int, iters: int, warm: bool):
+    """custom_vmap: unbatched calls use the XLA loop; vmapped calls route
+    to the VMEM-resident Pallas kernel (ops/apgd_kernel.py) — the same
+    dispatch pattern as physics/fk.fk."""
+    key = (K, iters, warm)
+    if key not in _APGD_DISPATCH:
+        from jax import custom_batching
+
+        @custom_batching.custom_vmap
+        def _apgd(A, b, n, t1, t2, act, mu, inv_L, lam0):
+            return _apgd_xla(A, b, n, t1, t2, act, mu, inv_L, lam0,
+                             iters, warm)
+
+        @_apgd.def_vmap
+        def _rule(axis_size, in_batched, *args):
+            from ..ops.apgd_kernel import apgd_solve
+            # constants (e.g. scalar-mu broadcasts) arrive unbatched
+            args = tuple(
+                a if bt else jnp.broadcast_to(a, (axis_size,) + a.shape)
+                for a, bt in zip(args, in_batched))
+            A, b, n, t1, t2, act, mu, inv_L, lam0 = args
+            out = apgd_solve(A, b, n, t1, t2, act.astype(jnp.float32),
+                             mu, inv_L, lam0, iters, warm)
+            return out, True
+
+        _APGD_DISPATCH[key] = _apgd
+    return _APGD_DISPATCH[key]
+
+
 def solve_contacts(model: PhysicsModel, Minv, J, v_pred, contacts: Contacts,
                    dt, normals=None, mu=None, lam_warm=None,
                    extra_inv_mass=None, vc_offset=None):
@@ -227,14 +301,26 @@ def solve_contacts(model: PhysicsModel, Minv, J, v_pred, contacts: Contacts,
     if lam_warm is None:
         lam0 = jnp.zeros(batch + (K, 3), dtype=v_pred.dtype)
         iters = p.apgd_iters
+        warm = False
     else:
-        # project the carried impulse (the active set / cone may have
-        # changed since last substep)
-        lam0 = project(lam_warm)
+        lam0 = lam_warm
         iters = p.apgd_warm_iters
-    (lam, _, _), _ = jax.lax.scan(
-        apgd_iter, (lam0, lam0, jnp.asarray(1.0, v_pred.dtype)), None,
-        length=iters)
+        warm = True
+
+    if p.use_pallas_apgd:
+        mu_k = jnp.broadcast_to(jnp.asarray(p.mu if mu is None else mu,
+                                            v_pred.dtype),
+                                contacts.depth.shape)
+        lam = _apgd_dispatch(K, iters, warm)(
+            A, b, n, t1, t2, act, mu_k, inv_L[..., 0], lam0)
+    else:
+        if warm:
+            # project the carried impulse (the active set / cone may have
+            # changed since last substep)
+            lam0 = project(lam0)
+        (lam, _, _), _ = jax.lax.scan(
+            apgd_iter, (lam0, lam0, jnp.asarray(1.0, v_pred.dtype)), None,
+            length=iters)
 
     # delta_v = M^-1 J^T lam = W lam
     delta_v = mm("...nk,...k->...n", W, lam.reshape(batch + (K * 3,)))

@@ -64,6 +64,11 @@ class SimParams:
     # resets from a per-frame motion-DB table; see control_step_carry).
     carry_minv: bool = True
     use_pallas_fk: bool = False  # route batched FK through the Pallas kernel
+    # VMEM-resident Pallas APGD: A read once per substep instead of every
+    # iteration (ops/apgd_kernel.py).  Off by default pending in-context
+    # A/B (the r2 f32 variant lost; this one is bf16 + no extra
+    # materialization).
+    use_pallas_apgd: bool = False
     # bf16 inputs (f32 accumulation) for the bandwidth-dominant matmuls:
     # Newton–Schulz refinement, Delassus build, APGD matvec, qdd solve.
     # Validated: humanoid standing trajectory within 0.4 mm of f32 over 1 s;
