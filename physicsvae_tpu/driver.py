@@ -130,7 +130,17 @@ def build_custom_policy(args, spec: dict, env):
             "load path; set custom_model_config.allow_missing_weights "
             "to continue with fresh init)")
 
-    if cmc.get("load_weights"):
+    # An explicit --checkpoint supersedes the spec's preload paths (the
+    # runtime spec ships pointing at the reference's missing pretrained
+    # blob; the caller's checkpoint is the real weights source).
+    skip_preload = bool(getattr(args, "checkpoint", None))
+    if skip_preload and (cmc.get("load_weights")
+                         or any(cmc.get(c + "_load_weights")
+                                for c in ("task_encoder", "motor_decoder",
+                                          "motor_decoder_helper",
+                                          "world_model"))):
+        print("NOTE: --checkpoint given; ignoring spec load_weights paths")
+    if cmc.get("load_weights") and not skip_preload:
         loaded = try_load(cmc["load_weights"],
                           lambda p: load_model(p, like_params=params),
                           "model")
@@ -139,7 +149,7 @@ def build_custom_policy(args, spec: dict, env):
     for comp in ("task_encoder", "motor_decoder", "motor_decoder_helper",
                  "world_model"):
         w = cmc.get(comp + "_load_weights")
-        if w:
+        if w and not skip_preload:
             loaded = try_load(w, lambda p: load_component(p, params, comp),
                               comp)
             params = loaded if loaded is not None else params

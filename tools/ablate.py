@@ -73,6 +73,12 @@ def main():
         ("bf16_B4096", {"matmul_bf16": True}, 4096),
         ("bf16_apgd12_selfK4", {"matmul_bf16": True, "apgd_iters": 12,
                                 "num_self_contacts": 4}, args.batch),
+        # round-3 opt-in kernels (A/B in context per the r2 honesty rule)
+        ("pallas_apgd", {"use_pallas_apgd": True}, args.batch),
+        ("pallas_fk", {"use_pallas_fk": True}, args.batch),
+        ("fused_dyn", {"use_fused_dynamics": True}, args.batch),
+        ("fused_dyn_apgd", {"use_fused_dynamics": True,
+                            "use_pallas_apgd": True}, args.batch),
     ]
     if args.only:
         names = set(args.only.split(","))
