@@ -197,6 +197,18 @@ def bias_force(model: PhysicsModel, k: FKResult, S, I_sp, V, vel):
     return jnp.einsum("...di,...ki,kd->...d", S, f, anc)
 
 
+def dynamics_terms_split(model: PhysicsModel, state: SimState, k: FKResult):
+    """(S, I_sp, V, c) — the per-body/per-dof elementwise terms, without
+    the CRBA assembly (mass_matrix composes them on the MXU).  This split
+    is the XLA fallback of the fused Pallas kernel (ops/dyn_kernel.py)."""
+    origin = state.root_p
+    S = motion_subspace(model, k, origin)
+    I_sp = spatial_inertia(model, k, origin)
+    V = spatial_velocity(k, origin)
+    c = bias_force(model, k, S, I_sp, V, state.vel)
+    return S, I_sp, V, c
+
+
 def dynamics_terms(model: PhysicsModel, state: SimState, k: FKResult):
     """Convenience: (S, M, c) for the current configuration.
 
@@ -204,10 +216,6 @@ def dynamics_terms(model: PhysicsModel, state: SimState, k: FKResult):
     generalized coordinates are unchanged but float32 lever arms stay O(1 m)
     regardless of where the character is in the world.
     """
-    origin = state.root_p
-    S = motion_subspace(model, k, origin)
-    I_sp = spatial_inertia(model, k, origin)
-    V = spatial_velocity(k, origin)
+    S, I_sp, V, c = dynamics_terms_split(model, state, k)
     M = mass_matrix(model, S, I_sp)
-    c = bias_force(model, k, S, I_sp, V, state.vel)
     return S, M, c

@@ -69,6 +69,11 @@ class SimParams:
     # A/B (the r2 f32 variant lost; this one is bf16 + no extra
     # materialization).
     use_pallas_apgd: bool = False
+    # Fused kinematics+dynamics-terms Pallas kernel (ops/dyn_kernel.py):
+    # FK + spatial inertia + motion subspace + spatial velocity + RNEA
+    # bias + contact points in ONE batch-on-lanes program.  Off by
+    # default pending in-context A/B.
+    use_fused_dynamics: bool = False
     # bf16 inputs (f32 accumulation) for the bandwidth-dominant matmuls:
     # Newton–Schulz refinement, Delassus build, APGD matvec, qdd solve.
     # Validated: humanoid standing trajectory within 0.4 mm of f32 over 1 s;

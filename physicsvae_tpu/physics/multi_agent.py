@@ -217,7 +217,7 @@ def scene_step(model: PhysicsModel, states: SimState, actions,
     dt = p.dt_sim
 
     def presolve_cold(st, act):
-        k, Mi, v_pred, _ = step_mod.substep_presolve(
+        k, Mi, v_pred, _, _ = step_mod.substep_presolve(
             model, st, act, None, ground_height)
         return k, Mi.astype(jnp.float32), v_pred
 
@@ -225,7 +225,7 @@ def scene_step(model: PhysicsModel, states: SimState, actions,
         # f32 refinement: scene momentum error scales with inverse-residual
         # x collision impulse, so scenes keep the inverse at ~1e-4 resid
         # (bf16's 4e-3 floor would show up as per-collision momentum drift)
-        k, Mi, v_pred, _ = step_mod.substep_presolve(
+        k, Mi, v_pred, _, _ = step_mod.substep_presolve(
             model, st, act, Mi, ground_height,
             refine_iters=2, refine_bf16=False)
         return k, Mi, v_pred

@@ -205,6 +205,41 @@ def _damped_mass_matrix(model: PhysicsModel, M, dt):
     return M + dt * jnp.diag(diag)
 
 
+_FUSED_DYN_CACHE = {}
+
+
+def _fused_dynamics(model: PhysicsModel):
+    """custom_vmap dispatch for the fused kinematics+dynamics kernel:
+    unbatched calls fall back to the XLA path; vmapped calls run ONE
+    Pallas program (ops/dyn_kernel.py) — same pattern as physics/fk.fk."""
+    key = id(model)
+    if key in _FUSED_DYN_CACHE:
+        return _FUSED_DYN_CACHE[key]
+
+    from jax import custom_batching
+
+    from .dynamics import dynamics_terms_split
+    from .fk import _fk_xla
+
+    @custom_batching.custom_vmap
+    def _f(root_p, root_q, joint_q, vel):
+        state = SimState(root_p, root_q, joint_q, vel)
+        k = _fk_xla(model, state)
+        S, I_sp, V, c = dynamics_terms_split(model, state, k)
+        x, _ = contact_point_positions(model, k)
+        return k, S, I_sp, V, c, x
+
+    @_f.def_vmap
+    def _rule(axis_size, in_batched, root_p, root_q, joint_q, vel):
+        from ..ops.dyn_kernel import dynamics_terms_fused
+        state = SimState(root_p, root_q, joint_q, vel)
+        out = dynamics_terms_fused(model, state)
+        return out, jax.tree.map(lambda _: True, out)
+
+    _FUSED_DYN_CACHE[key] = _f
+    return _f
+
+
 def substep_presolve(model: PhysicsModel, state: SimState, action: Action,
                      Minv=None, ground_height=0.0, obstacles=None,
                      refine_iters=None, refine_bf16=None):
@@ -218,8 +253,15 @@ def substep_presolve(model: PhysicsModel, state: SimState, action: Action,
     p = model.params
     dt = p.dt_sim
 
-    k = fk(model, state)
-    S, M, c = dynamics_terms(model, state, k)
+    if p.use_fused_dynamics:
+        k, S, I_sp, V, c, x_pts = _fused_dynamics(model)(
+            state.root_p, state.root_q, state.joint_q, state.vel)
+        from .dynamics import mass_matrix
+        M = mass_matrix(model, S, I_sp)
+    else:
+        k = fk(model, state)
+        S, M, c = dynamics_terms(model, state, k)
+        x_pts = None
     M_hat = _damped_mass_matrix(model, M, dt)
     if Minv is None:
         # NS cold inverse only for stable-PD: its implicit dt*kd diagonal
@@ -258,11 +300,12 @@ def substep_presolve(model: PhysicsModel, state: SimState, action: Action,
 
     # NOTE: dynamic obstacles now couple through the unified contact solve
     # (solve_ground_self) rather than an ad-hoc impulse exchange here.
-    return k, Minv, v_pred, obstacles
+    return k, Minv, v_pred, obstacles, x_pts
 
 
 def solve_ground_self(model: PhysicsModel, k, Minv, v_pred,
-                      ground_height=0.0, lam_warm=None, obstacles=None):
+                      ground_height=0.0, lam_warm=None, obstacles=None,
+                      x_pts=None):
     """Ground + self-collision (+ dynamic obstacle) contact assembly and
     ONE unified APGD solve on the predicted velocity.
 
@@ -276,7 +319,8 @@ def solve_ground_self(model: PhysicsModel, k, Minv, v_pred,
     p = model.params
     dt = p.dt_sim
 
-    x, _ = contact_point_positions(model, k)
+    x = x_pts if x_pts is not None else \
+        contact_point_positions(model, k)[0]
     depth = contacts_mod.detect_ground(model, x, ground_height)
     cons = contacts_mod.select_contacts(model, x, depth)
     J = contacts_mod.contact_jacobian(model, k, cons)
@@ -364,20 +408,21 @@ def substep(model: PhysicsModel, state: SimState, action: Action,
     393-407).  lam_warm: previous substep's contact impulses (warm start).
     Returns (state, Minv, obstacles, lam).
     """
-    k, Minv, v_pred, obstacles = substep_presolve(
+    k, Minv, v_pred, obstacles, x_pts = substep_presolve(
         model, state, action, Minv, ground_height, obstacles,
         refine_iters, refine_bf16)
     if obstacles is not None:
         from . import obstacles as obstacles_mod
         dv, lam, obstacles = solve_ground_self(
-            model, k, Minv, v_pred, ground_height, lam_warm, obstacles)
+            model, k, Minv, v_pred, ground_height, lam_warm, obstacles,
+            x_pts=x_pts)
         gvec = model.params.gravity * jnp.asarray(model.v_up_env)
         obstacles = obstacles_mod.update(obstacles, model.params.dt_sim,
                                          gvec, v_up=model.v_up_env,
                                          ground_height=ground_height)
     else:
         dv, lam = solve_ground_self(model, k, Minv, v_pred, ground_height,
-                                    lam_warm)
+                                    lam_warm, x_pts=x_pts)
     new_state = integrate(model, state, v_pred + dv, model.params.dt_sim)
     return new_state, Minv, obstacles, lam
 
