@@ -206,6 +206,30 @@ class VAETrainer:
 
         self._step_jit = jax.jit(_step)
 
+        def _epoch(params, opt_state, constants, X, Y, idx, rng, kl_scale):
+            """Whole epoch in one device program: lax.scan over the shuffled
+            minibatch index table.  Keeps the dataset resident on device —
+            one dispatch per epoch instead of one per minibatch (the
+            per-minibatch host->device transfer dominates on a tunneled
+            chip)."""
+            def body(carry, b_idx):
+                params, opt_state, rng = carry
+                rng, sub = jax.random.split(rng)
+                x = jnp.take(X, b_idx, axis=0)
+                y = jnp.take(Y, b_idx, axis=0)
+                (_, metrics), grads = jax.value_and_grad(
+                    self.loss_fn, has_aux=True)(
+                        params, constants, x, y, sub, coeffs, kl_scale)
+                updates, opt_state = self.tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state, rng), metrics
+
+            (params, opt_state, rng), ms = jax.lax.scan(
+                body, (params, opt_state, rng), idx)
+            return params, opt_state, rng, jax.tree.map(jnp.mean, ms)
+
+        self._epoch_jit = jax.jit(_epoch, donate_argnums=(0, 1))
+
     def train_epoch(self, batches):
         """One tune-iteration = one epoch (torch_models.py:131-145)."""
         if self.world_phase and self.iter >= self.cfg.max_iter_world_model:
@@ -233,6 +257,39 @@ class VAETrainer:
             losses.append(metrics)
         mean = {k: float(np.mean([float(m[k]) for m in losses]))
                 for k in losses[0]}
+        mean["iter"] = self.iter
+        mean["phase"] = "world_model" if self.world_phase else "cvae"
+        return mean
+
+    def train_epoch_device(self, Xd, Yd, np_rng):
+        """One epoch via the scanned device program.  Xd/Yd are
+        device-resident jnp arrays; np_rng drives the host-side shuffle
+        (same epoch semantics as Batches.epoch)."""
+        if self.world_phase and self.iter >= self.cfg.max_iter_world_model:
+            self.world_phase = False
+            self._build(False)
+        self.iter += 1
+        n = Xd.shape[0]
+        if not hasattr(self, "_steps_per_epoch"):
+            self._steps_per_epoch = max(1, n // self.cfg.batch_size)
+            self._build(self.world_phase)
+        if self.cfg.kl_anneal_iters > 0 and not self.world_phase:
+            in_phase = self.iter - self.cfg.max_iter_world_model
+            kl_scale = min(1.0, max(in_phase, 1) / self.cfg.kl_anneal_iters)
+        else:
+            kl_scale = 1.0
+        nb = n // self.cfg.batch_size
+        if nb >= 1:
+            idx = np_rng.permutation(n)[:nb * self.cfg.batch_size]
+            idx = idx.reshape(nb, self.cfg.batch_size)
+        else:
+            idx = np_rng.permutation(n)[None, :]
+        self.rng, sub = jax.random.split(self.rng)
+        self.params, self.opt_state, _, ms = self._epoch_jit(
+            self.params, self.opt_state, self.constants,
+            Xd, Yd, jnp.asarray(idx), sub,
+            jnp.asarray(kl_scale, jnp.float32))
+        mean = {k: float(v) for k, v in ms.items()}
         mean["iter"] = self.iter
         mean["phase"] = "world_model" if self.world_phase else "cvae"
         return mean

@@ -17,6 +17,8 @@ import json
 import os
 
 import jax
+import jax.numpy as jnp
+import numpy as np
 
 
 def arg_parser():
@@ -118,10 +120,16 @@ def main(argv=None):
         batches = Batches(X, Y, tcfg.batch_size,
                           normalize_x=args.normalize_x,
                           normalize_y=args.normalize_y)
+        # dataset uploaded once; each epoch is a single scanned device
+        # program (per-minibatch host->device transfer is the bottleneck
+        # on a tunneled chip)
+        Xd = jnp.asarray(batches.X)
+        Yd = jnp.asarray(batches.Y)
+        np_rng = np.random.default_rng(0)
         log_path = os.path.join(trial_dir, "progress.jsonl")
         final = None
         for it in range(args.max_iter):
-            m = tr.train_epoch(batches)
+            m = tr.train_epoch_device(Xd, Yd, np_rng)
             final = m
             with open(log_path, "a") as f:
                 f.write(json.dumps(m) + "\n")

@@ -209,3 +209,38 @@ def test_kl_annealing_schedule():
         kls.append(m["loss_kl"])
     # epochs 3-4 are the first cVAE epochs: training runs and stays finite
     assert all(np.isfinite(k) for k in kls)
+
+
+def test_two_phase_training_device_epoch():
+    """Scanned device-resident epoch path (train_epoch_device) reproduces
+    the two-phase schedule: WM learns in phase 1, stays frozen in phase 2,
+    action reconstruction improves."""
+    import numpy as np
+    X, Y = synthetic_dataset()
+    tcfg = VAETrainConfig(lr=2e-3, batch_size=256, max_iter=16,
+                          max_iter_world_model=8, vae_kl_coeff=1e-3,
+                          vae_cycle_coeff=1e-3)
+    tr = VAETrainer(small_mcfg(), tcfg, jax.random.PRNGKey(0))
+    Xd, Yd = jnp.asarray(X), jnp.asarray(Y)
+    np_rng = np.random.default_rng(0)
+
+    logs = [tr.train_epoch_device(Xd, Yd, np_rng) for _ in range(16)]
+
+    wm_losses = [l["loss_s"] for l in logs if l["phase"] == "world_model"]
+    assert len(wm_losses) == 8
+    assert wm_losses[-1] < wm_losses[0] * 0.5
+
+    a_losses = [l["loss_a"] for l in logs if l["phase"] == "cvae"]
+    assert a_losses[-1] < a_losses[0]
+
+    # WM frozen during phase 2
+    import flax
+    flat = flax.traverse_util.flatten_dict(tr.params)
+    wm_after_phase1 = None  # spot-check via a fresh phase-2-only epoch
+    wm_keys = [k for k in flat if "world_model" in "/".join(map(str, k))]
+    assert wm_keys
+    before = {k: np.asarray(flat[k]) for k in wm_keys}
+    tr.train_epoch_device(Xd, Yd, np_rng)
+    flat2 = flax.traverse_util.flatten_dict(tr.params)
+    for k in wm_keys:
+        assert np.allclose(before[k], np.asarray(flat2[k]))
