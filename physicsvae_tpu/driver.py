@@ -39,6 +39,9 @@ def arg_parser():
     p.add_argument("--resume", action="store_true",
                    help="auto-resume from <local_dir>/trainer_state if "
                         "present (tune resume=ERRORED_ONLY parity)")
+    p.add_argument("--allow_missing_weights", action="store_true",
+                   help="continue with fresh init when a spec-declared "
+                        "load_weights path is missing (default: raise)")
     p.add_argument("--eval_method", type=str, default="full",
                    choices=["full", "pass_through"],
                    help="physics_vae runtime eval mode "
@@ -120,8 +123,10 @@ def build_custom_policy(args, spec: dict, env):
             return fn(full(path))
         # A typo'd spec path must not silently train/eval with random
         # weights (matches the reference's torch.load FileNotFoundError,
-        # rllib_model_torch.py:707-727).  Opt out per-spec only.
-        if cmc.get("allow_missing_weights"):
+        # rllib_model_torch.py:707-727).  Opt out per-spec or via the
+        # explicit CLI flag.
+        if cmc.get("allow_missing_weights") or getattr(
+                args, "allow_missing_weights", False):
             print(f"WARNING: {what} weights not found at {full(path)}; "
                   "continuing with fresh init (allow_missing_weights)")
             return None

@@ -58,7 +58,8 @@ def _make_kernel(K: int, iters: int, project_warm: bool):
     """Kernel over one batch block.
 
     Refs (feature-major, trailing dim = batch block Bt):
-      A_ref   (3K, 3K, Bt) bf16   Delassus (column j = A[:, j])
+      A_ref   (3K, 3K, Bt) bf16   Delassus, column-leading: A_ref[j] is
+                                  the j-th column of the batch-major A
       b_ref   (3K, Bt)  f32
       n_ref   (3K, Bt)  f32       per-contact normal (rows 3k..3k+2)
       t1_ref  (3K, Bt)  f32       tangent 1
@@ -102,14 +103,13 @@ def _make_kernel(K: int, iters: int, project_warm: bool):
             return jnp.stack(rows, axis=0)
 
         def matvec(y):
-            yb = y.astype(jnp.bfloat16)
-
-            def body(j, acc):
-                col = A_ref[:, j, :].astype(jnp.float32)   # (3K, Bt)
-                return acc + col * yb[j].astype(jnp.float32)[None, :]
-
-            return jax.lax.fori_loop(
-                0, R, body, jnp.zeros_like(y, dtype=jnp.float32))
+            # Mosaic TC has no dynamic_slice, so no fori_loop over
+            # columns: one widening multiply-reduce over the whole
+            # VMEM-resident block instead (A stays bf16; products and
+            # the accumulation run f32 on the VPU).
+            yf = y.astype(jnp.bfloat16).astype(jnp.float32)
+            A = A_ref[:].astype(jnp.float32)               # (3K, 3K, Bt)
+            return jnp.sum(A * yf[:, None, :], axis=0)
 
         # per-row step size: inv_L of the owning contact
         invL_rows = jnp.concatenate(
@@ -136,9 +136,9 @@ def apgd_pallas_fm(A_fm, b_fm, n_fm, t1_fm, t2_fm, act_fm, mu_fm, invL_fm,
                    interpret: bool = False, block: int = 256):
     """Feature-major entry: all args have trailing batch dim B.
 
-    A_fm: (3K, 3K, B) bf16 with A_fm[i, j] = A[j, i] of the batch-major
-    operator (column-slice layout for the fori_loop matvec).
-    Returns lam (3K, B) f32.
+    A_fm: (3K, 3K, B) bf16 with A_fm[j, i] = A[i, j] of the batch-major
+    operator (column-LEADING layout so the fori_loop matvec can
+    dynamically index the majormost axis).  Returns lam (3K, B) f32.
     """
     R = 3 * K
     B = b_fm.shape[-1]
@@ -179,9 +179,9 @@ def apgd_solve(A, b, n, t1, t2, act, mu, inv_L, lam0, iters: int,
     B, K = act.shape
     R = 3 * K
     Af = A.reshape(B, R, R)
-    # column-slice layout: A_fm[i, j, b] = Af[b, i, j] -> transpose so the
-    # kernel's A_ref[:, j, :] is the j-th COLUMN of the matvec
-    A_fm = jnp.transpose(Af, (1, 2, 0)).astype(jnp.bfloat16)
+    # column-LEADING layout: A_fm[j, i, b] = Af[b, i, j] -> the kernel's
+    # A_ref[j] is the j-th COLUMN of the matvec (majormost dynamic index)
+    A_fm = jnp.transpose(Af, (2, 1, 0)).astype(jnp.bfloat16)
     fm = lambda x: jnp.transpose(x.reshape(B, -1), (1, 0))
     lam = apgd_pallas_fm(
         A_fm, fm(b), fm(n), fm(t1), fm(t2),

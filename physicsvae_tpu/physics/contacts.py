@@ -307,7 +307,8 @@ def solve_contacts(model: PhysicsModel, Minv, J, v_pred, contacts: Contacts,
         iters = p.apgd_warm_iters
         warm = True
 
-    if p.use_pallas_apgd:
+    from .step import kernels_on_tpu
+    if p.use_pallas_apgd and kernels_on_tpu():
         mu_k = jnp.broadcast_to(jnp.asarray(p.mu if mu is None else mu,
                                             v_pred.dtype),
                                 contacts.depth.shape)

@@ -142,6 +142,10 @@ def mass_matrix(model: PhysicsModel, S, I_sp):
 
     Ic_d = Ic[..., jnp.asarray(model.dof_body), :, :]  # (...,NV,6,6)
     F = jnp.einsum("...dij,...dj->...di", Ic_d, S)     # (...,NV,6)
+    # NOT bf16-gated: M must be precision-consistent with the f32 bias
+    # force or free-fall picks up O(5 rad/s^2) phantom accelerations
+    # (qdd = M^-1(tau - c) amplifies any M-vs-c mismatch).  Measured:
+    # bf16 here fails test_free_fall_acceleration by 3 orders.
     Mfull = jnp.einsum("...di,...ei->...de", F, S)     # (...,NV,NV)
     W = jnp.asarray(model.anc_pair)                    # strict: e anc of d, e<d
     Ml = jnp.where(W, Mfull, 0.0)

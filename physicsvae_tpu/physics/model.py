@@ -65,15 +65,20 @@ class SimParams:
     carry_minv: bool = True
     use_pallas_fk: bool = False  # route batched FK through the Pallas kernel
     # VMEM-resident Pallas APGD: A read once per substep instead of every
-    # iteration (ops/apgd_kernel.py).  Off by default pending in-context
-    # A/B (the r2 f32 variant lost; this one is bf16 + no extra
-    # materialization).
-    use_pallas_apgd: bool = False
+    # iteration (ops/apgd_kernel.py).  In-context A/B at B=2048: +11%
+    # alone, +22% with the fused dynamics kernel (docs/PERF_r3.md); the
+    # r2 f32 variant lost, this one is bf16 + no extra materialization.
+    # Takes effect only when the default backend is TPU (CPU runs and the
+    # virtual-mesh dryrun keep the XLA path — no CPU lowering).
+    use_pallas_apgd: bool = True
     # Fused kinematics+dynamics-terms Pallas kernel (ops/dyn_kernel.py):
     # FK + spatial inertia + motion subspace + spatial velocity + RNEA
-    # bias + contact points in ONE batch-on-lanes program.  Off by
-    # default pending in-context A/B.
-    use_fused_dynamics: bool = False
+    # bias + contact points in ONE batch-on-lanes program.  In-context
+    # A/B: +10% alone, +22% with the VMEM APGD kernel; trajectory
+    # divergence vs the XLA path matches the intrinsic chaos rate
+    # (tools/compare_step_kernels.py GATE ratio 0.98).  TPU-only, as
+    # above.
+    use_fused_dynamics: bool = True
     # bf16 inputs (f32 accumulation) for the bandwidth-dominant matmuls:
     # Newton–Schulz refinement, Delassus build, APGD matvec, qdd solve.
     # Validated: humanoid standing trajectory within 0.4 mm of f32 over 1 s;

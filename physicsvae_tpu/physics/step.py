@@ -29,6 +29,13 @@ from .model import PhysicsModel
 from .state import SimState, joint_omega
 
 
+def kernels_on_tpu() -> bool:
+    """The opt-in Pallas kernels have no non-interpret CPU lowering; the
+    use_* flags only take effect when tracing for a TPU backend (CPU test
+    runs and the virtual-mesh multichip dryrun keep the XLA path)."""
+    return jax.default_backend() == "tpu"
+
+
 class Action(NamedTuple):
     """Per-control-step actuation targets (already denormalized).
 
@@ -253,7 +260,7 @@ def substep_presolve(model: PhysicsModel, state: SimState, action: Action,
     p = model.params
     dt = p.dt_sim
 
-    if p.use_fused_dynamics:
+    if p.use_fused_dynamics and kernels_on_tpu():
         k, S, I_sp, V, c, x_pts = _fused_dynamics(model)(
             state.root_p, state.root_q, state.joint_q, state.vel)
         from .dynamics import mass_matrix

@@ -30,9 +30,16 @@ def test_driver_physics_vae_spec(tmp_path):
     local = str(tmp_path / "run")
     spec = "/root/reference/data/spec/loco/loco_runtime_physics_vae.yaml"
     # train 1 iteration with the PhysicsVAE policy (pretrained blob is
-    # missing upstream -> warns and uses fresh init)
+    # missing upstream -> needs the explicit opt-out, then fresh init;
+    # without it the driver must raise rather than silently train from
+    # random weights)
+    with pytest.raises(FileNotFoundError):
+        main(["--mode", "train", "--spec", spec,
+              "--project_dir", "/root/reference",
+              "--num_envs", "2", "--rollout_length", "2", "--num_iter", "1",
+              "--checkpoint_freq", "1", "--local_dir", local])
     main(["--mode", "train", "--spec", spec,
-          "--project_dir", "/root/reference",
+          "--project_dir", "/root/reference", "--allow_missing_weights",
           "--num_envs", "2", "--rollout_length", "2", "--num_iter", "1",
           "--checkpoint_freq", "1", "--local_dir", local])
     ckpt = os.path.join(local, "ckpt_final")

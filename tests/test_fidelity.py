@@ -28,6 +28,11 @@ ASSETS = os.path.join(os.path.dirname(__file__), "assets")
 def build(urdf, char_info, **params):
     cm = load_urdf(os.path.join(ASSETS, urdf))
     ci = load_char_info(os.path.join(ASSETS, char_info))
+    if os.environ.get("PVAE_TEST_KERNELS") == "1":
+        # on-device validation of the opt-in Pallas kernels against the
+        # same closed-form laws (run with PVAE_TEST_TPU=1)
+        params = {"use_fused_dynamics": True, "use_pallas_apgd": True,
+                  **params}
     p = model_mod.SimParams(actuation="none", joint_damping=0.0,
                             self_collision=False, **params)
     return model_mod.build_model(cm, ci, p)

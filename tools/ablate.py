@@ -73,7 +73,9 @@ def main():
         ("bf16_B4096", {"matmul_bf16": True}, 4096),
         ("bf16_apgd12_selfK4", {"matmul_bf16": True, "apgd_iters": 12,
                                 "num_self_contacts": 4}, args.batch),
-        # round-3 opt-in kernels (A/B in context per the r2 honesty rule)
+        # round-3 kernels (now default-on; xla_path is the A/B control)
+        ("xla_path", {"use_fused_dynamics": False,
+                      "use_pallas_apgd": False}, args.batch),
         ("pallas_apgd", {"use_pallas_apgd": True}, args.batch),
         ("pallas_fk", {"use_pallas_fk": True}, args.batch),
         ("fused_dyn", {"use_fused_dynamics": True}, args.batch),
