@@ -54,6 +54,14 @@ class SimParams:
     # (Bullet warm-starts its sequential impulses the same way)
     apgd_warm_iters: int = 5
     ns_iters: int = 1            # Newton–Schulz refinements per warm substep
+    # Refinement cadence across the warm substeps of one control step:
+    # 1 = refine every substep (reference-faithful tracking of M_hat);
+    # 0 = hold the inverse fixed after the first substep's refinement —
+    # the pose drifts at most 1/fps_con before the next refinement, and
+    # M_hat, the mass-matrix build, and the NS matmuls all become dead
+    # code in the 15 warm substeps (XLA DCE), which the r3 trace says is
+    # ~40% of substep device time.  Gated by the fidelity suite.
+    ns_refine_every: int = 1
     # Per-control-step cold inverse: "ns" = factorization-free Newton–
     # Schulz from the Pan–Schreiber seed (pure MXU matmuls, ~3x faster
     # than the TPU Cholesky custom-call at B=2048); "chol" = exact

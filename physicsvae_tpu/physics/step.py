@@ -269,8 +269,9 @@ def substep_presolve(model: PhysicsModel, state: SimState, action: Action,
         k = fk(model, state)
         S, M, c = dynamics_terms(model, state, k)
         x_pts = None
-    M_hat = _damped_mass_matrix(model, M, dt)
+    n_refine = p.ns_iters if refine_iters is None else refine_iters
     if Minv is None:
+        M_hat = _damped_mass_matrix(model, M, dt)
         # NS cold inverse only for stable-PD: its implicit dt*kd diagonal
         # keeps the equilibrated condition number ~250 (22 iters converge).
         # The barely-damped M_hat of pd/cpd/cp/v/tq/none needs far more NS
@@ -280,12 +281,14 @@ def substep_presolve(model: PhysicsModel, state: SimState, action: Action,
             Minv = ns_inverse(M_hat, iters=p.ns_cold_iters)
         else:
             Minv = spd_inverse(M_hat)
-    else:
+    elif n_refine > 0:
+        M_hat = _damped_mass_matrix(model, M, dt)
         Minv = ns_refine(
-            M_hat, Minv,
-            iters=p.ns_iters if refine_iters is None else refine_iters,
+            M_hat, Minv, iters=n_refine,
             bf16=_bf16_inverse_ok(model) if refine_bf16 is None
             else refine_bf16)
+    # else (ns_refine_every == 0 warm substeps): hold the carried inverse;
+    # M and M_hat are then dead code and XLA DCEs the mass-matrix build.
 
     mode = p.actuation
     if mode == "spd":
@@ -453,10 +456,12 @@ def control_step(model: PhysicsModel, state: SimState, action: Action,
     def cast_carry(Mi):
         return Mi.astype(jnp.bfloat16) if _bf16_inverse_ok(model) else Mi
 
+    warm_refine = None if model.params.ns_refine_every else 0
+
     def body(carry, _):
         st, Mi, ob, lm = carry
         st, Mi, ob, lm = substep(model, st, action, Mi, ground_height, ob,
-                                 lam_warm=lm)
+                                 lam_warm=lm, refine_iters=warm_refine)
         return (st, cast_carry(Mi), ob, lm), None
 
     (state, _, obstacles2, _), _ = jax.lax.scan(
@@ -492,10 +497,12 @@ def control_step_carry(model: PhysicsModel, state: SimState, action: Action,
     def cast_carry(Mi):
         return Mi.astype(jnp.bfloat16) if _bf16_inverse_ok(model) else Mi
 
+    warm_refine = None if model.params.ns_refine_every else 0
+
     def body(carry, _):
         st, Mi, ob, lm = carry
         st, Mi, ob, lm = substep(model, st, action, Mi, ground_height, ob,
-                                 lam_warm=lm)
+                                 lam_warm=lm, refine_iters=warm_refine)
         return (st, cast_carry(Mi), ob, lm), None
 
     (state, Minv, obstacles2, _), _ = jax.lax.scan(

@@ -33,6 +33,10 @@ def build(urdf, char_info, **params):
         # same closed-form laws (run with PVAE_TEST_TPU=1)
         params = {"use_fused_dynamics": True, "use_pallas_apgd": True,
                   **params}
+    if os.environ.get("PVAE_TEST_HOLD_MINV") == "1":
+        # validate the held-inverse cadence (SimParams.ns_refine_every=0)
+        # against the same closed-form laws
+        params = {"ns_refine_every": 0, **params}
     p = model_mod.SimParams(actuation="none", joint_damping=0.0,
                             self_collision=False, **params)
     return model_mod.build_model(cm, ci, p)
