@@ -59,9 +59,13 @@ class SimParams:
     # 0 = hold the inverse fixed after the first substep's refinement —
     # the pose drifts at most 1/fps_con before the next refinement, and
     # M_hat, the mass-matrix build, and the NS matmuls all become dead
-    # code in the 15 warm substeps (XLA DCE), which the r3 trace says is
-    # ~40% of substep device time.  Gated by the fidelity suite.
-    ns_refine_every: int = 1
+    # code in the 15 warm substeps (XLA DCE).  Default 0: the on-chip A/B
+    # measured 45,962 -> 70,747 env steps/s (+54%) at B=2048, the
+    # closed-form fidelity laws pass with the held inverse
+    # (PVAE_TEST_HOLD_MINV=1), and a contact-rich 30-control-step rollout
+    # diverges from the per-substep-refined path at 0.65x the intrinsic
+    # chaos rate (tools/compare_hold_minv.py).
+    ns_refine_every: int = 0
     # Per-control-step cold inverse: "ns" = factorization-free Newton–
     # Schulz from the Pan–Schreiber seed (pure MXU matmuls, ~3x faster
     # than the TPU Cholesky custom-call at B=2048); "chol" = exact

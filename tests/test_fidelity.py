@@ -35,8 +35,12 @@ def build(urdf, char_info, **params):
                   **params}
     if os.environ.get("PVAE_TEST_HOLD_MINV") == "1":
         # validate the held-inverse cadence (SimParams.ns_refine_every=0)
-        # against the same closed-form laws
+        # against the same closed-form laws (now the default; kept for
+        # explicit runs)
         params = {"ns_refine_every": 0, **params}
+    if os.environ.get("PVAE_TEST_REFINE_EVERY") == "1":
+        # validate the per-substep-refined cadence (the pre-r3 default)
+        params = {"ns_refine_every": 1, **params}
     p = model_mod.SimParams(actuation="none", joint_damping=0.0,
                             self_collision=False, **params)
     return model_mod.build_model(cm, ci, p)

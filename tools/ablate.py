@@ -73,8 +73,8 @@ def main():
         ("bf16_B4096", {"matmul_bf16": True}, 4096),
         ("bf16_apgd12_selfK4", {"matmul_bf16": True, "apgd_iters": 12,
                                 "num_self_contacts": 4}, args.batch),
-        ("hold_minv", {"ns_refine_every": 0}, args.batch),
-        ("hold_minv_B4096", {"ns_refine_every": 0}, 4096),
+        # held inverse is now the default; refine_every1 is the A/B control
+        ("refine_every1", {"ns_refine_every": 1}, args.batch),
         # round-3 kernels (now default-on; xla_path is the A/B control)
         ("xla_path", {"use_fused_dynamics": False,
                       "use_pallas_apgd": False}, args.batch),
