@@ -16,6 +16,8 @@ from ..models.physics_vae import COMPONENT_NAMES
 
 
 def save_model(dirpath: str, params, constants=None):
+    # orbax/tensorstore requires absolute paths; CLI callers pass relative
+    dirpath = os.path.abspath(dirpath)
     os.makedirs(dirpath, exist_ok=True)
     cp = ocp.PyTreeCheckpointer()
     cp.save(os.path.join(dirpath, "model"), params, force=True)
@@ -29,6 +31,7 @@ def save_model(dirpath: str, params, constants=None):
 
 
 def load_model(dirpath: str, like_params=None):
+    dirpath = os.path.abspath(dirpath)
     cp = ocp.PyTreeCheckpointer()
     path = os.path.join(dirpath, "model")
     if like_params is not None:
@@ -39,6 +42,7 @@ def load_model(dirpath: str, like_params=None):
 def load_component(dirpath: str, params, name: str):
     """Replace params[name] with the saved component subtree
     (load_weights_* equivalents, rllib_model_torch.py:882-928)."""
+    dirpath = os.path.abspath(dirpath)
     cp = ocp.PyTreeCheckpointer()
     sub = cp.restore(os.path.join(dirpath, name), item=params[name])
     new = dict(params)
