@@ -66,15 +66,19 @@ def _make_kernel(K: int, iters: int, project_warm: bool):
       t2_ref  (3K, Bt)  f32       tangent 2
       act_ref (K, Bt)   f32
       mu_ref  (K, Bt)   f32
-      invL_ref(K, Bt)   f32
       lam0_ref(3K, Bt)  f32
       out_ref (3K, Bt)  f32
+
+    Per-contact Gershgorin step sizes are computed IN-KERNEL from the
+    VMEM-resident bf16 A (the operator the matvec actually iterates on) —
+    this removed the XLA-side abs-sum pass that re-read the full f32 A
+    from HBM every substep.
     """
     betas = _momentum_betas(iters)
     R = 3 * K
 
     def kernel(A_ref, b_ref, n_ref, t1_ref, t2_ref, act_ref, mu_ref,
-               invL_ref, lam0_ref, out_ref):
+               lam0_ref, out_ref):
         n = n_ref[:]
         t1 = t1_ref[:]
         t2 = t2_ref[:]
@@ -111,10 +115,18 @@ def _make_kernel(K: int, iters: int, project_warm: bool):
             A = A_ref[:].astype(jnp.float32)               # (3K, 3K, Bt)
             return jnp.sum(A * yf[:, None, :], axis=0)
 
-        # per-row step size: inv_L of the owning contact
-        invL_rows = jnp.concatenate(
-            [jnp.stack([invL_ref[k]] * 3, axis=0) for k in range(K)],
-            axis=0) if K > 1 else jnp.stack([invL_ref[0]] * 3, axis=0)
+        # per-contact Gershgorin step size from the VMEM-resident A:
+        # L_k = max over contact k's 3 rows of sum_j |A[i,j]|.  A_ref is
+        # column-leading (A_ref[j, i] = A[i, j]), so the row sum is a
+        # reduction over axis 0.
+        rowsum = jnp.sum(jnp.abs(A_ref[:].astype(jnp.float32)), axis=0)
+        invL_rows_list = []
+        for k in range(K):
+            L_k = jnp.maximum(jnp.maximum(rowsum[3 * k], rowsum[3 * k + 1]),
+                              rowsum[3 * k + 2])
+            inv = 1.0 / jnp.maximum(L_k, 1e-8)
+            invL_rows_list.extend([inv, inv, inv])
+        invL_rows = jnp.stack(invL_rows_list, axis=0)
 
         lam = project(lam0_ref[:]) if project_warm else lam0_ref[:] * 0.0
         y = lam
@@ -131,7 +143,7 @@ def _make_kernel(K: int, iters: int, project_warm: bool):
 @functools.partial(jax.jit,
                    static_argnames=("K", "iters", "project_warm",
                                     "interpret", "block"))
-def apgd_pallas_fm(A_fm, b_fm, n_fm, t1_fm, t2_fm, act_fm, mu_fm, invL_fm,
+def apgd_pallas_fm(A_fm, b_fm, n_fm, t1_fm, t2_fm, act_fm, mu_fm,
                    lam0_fm, K: int, iters: int, project_warm: bool,
                    interpret: bool = False, block: int = 256):
     """Feature-major entry: all args have trailing batch dim B.
@@ -147,9 +159,9 @@ def apgd_pallas_fm(A_fm, b_fm, n_fm, t1_fm, t2_fm, act_fm, mu_fm, invL_fm,
     if Bp != B:
         pad = lambda x: jnp.pad(
             x, ((0, 0),) * (x.ndim - 1) + ((0, Bp - B),))
-        A_fm, b_fm, n_fm, t1_fm, t2_fm, act_fm, mu_fm, invL_fm, lam0_fm = (
+        A_fm, b_fm, n_fm, t1_fm, t2_fm, act_fm, mu_fm, lam0_fm = (
             pad(x) for x in (A_fm, b_fm, n_fm, t1_fm, t2_fm, act_fm,
-                             mu_fm, invL_fm, lam0_fm))
+                             mu_fm, lam0_fm))
 
     kernel = _make_kernel(K, iters, project_warm)
 
@@ -164,18 +176,19 @@ def apgd_pallas_fm(A_fm, b_fm, n_fm, t1_fm, t2_fm, act_fm, mu_fm, invL_fm,
         kernel,
         grid=(Bp // Bt,),
         in_specs=[spec(None, True), spec(R), spec(R), spec(R), spec(R),
-                  spec(K), spec(K), spec(K), spec(R)],
+                  spec(K), spec(K), spec(R)],
         out_specs=spec(R),
         out_shape=jax.ShapeDtypeStruct((R, Bp), jnp.float32),
         interpret=interpret,
-    )(A_fm, b_fm, n_fm, t1_fm, t2_fm, act_fm, mu_fm, invL_fm, lam0_fm)
+    )(A_fm, b_fm, n_fm, t1_fm, t2_fm, act_fm, mu_fm, lam0_fm)
     return out[:, :B]
 
 
-def apgd_solve(A, b, n, t1, t2, act, mu, inv_L, lam0, iters: int,
+def apgd_solve(A, b, n, t1, t2, act, mu, lam0, iters: int,
                project_warm: bool, interpret: bool = False):
     """Batch-major adapter: A (B,K,3,K,3) f32/bf16; b/n/t1/t2 (B,K,3);
-    act/mu/inv_L (B,K); lam0 (B,K,3).  Returns lam (B,K,3) f32."""
+    act/mu (B,K); lam0 (B,K,3).  Returns lam (B,K,3) f32.  Step sizes
+    are derived in-kernel (Gershgorin on the bf16 A)."""
     B, K = act.shape
     R = 3 * K
     Af = A.reshape(B, R, R)
@@ -187,7 +200,6 @@ def apgd_solve(A, b, n, t1, t2, act, mu, inv_L, lam0, iters: int,
         A_fm, fm(b), fm(n), fm(t1), fm(t2),
         jnp.transpose(act, (1, 0)).astype(jnp.float32),
         jnp.transpose(mu, (1, 0)).astype(jnp.float32),
-        jnp.transpose(inv_L, (1, 0)).astype(jnp.float32),
         fm(lam0), K=K, iters=iters, project_warm=project_warm,
         interpret=interpret)
     return jnp.transpose(lam, (1, 0)).reshape(B, K, 3)

@@ -32,6 +32,39 @@ from .fk_kernel import (_add, _cross, _qmul, _qmul_const_right, _qrotate,
                         _qrotate_const, _round_up, _sub)
 
 
+def _qconj(q):
+    x, y, z, w = q
+    return (-x, -y, -z, w)
+
+
+def _qnormalize(q):
+    x, y, z, w = q
+    inv = jax.lax.rsqrt(jnp.maximum(x * x + y * y + z * z + w * w, 1e-16))
+    return (x * inv, y * inv, z * inv, w * inv)
+
+
+def _q_from_axis_angle(a):
+    """Row-tuple version of quaternion.from_axis_angle (sinc-safe)."""
+    ax, ay, az = a
+    angle = jnp.sqrt(ax * ax + ay * ay + az * az)
+    half = 0.5 * angle
+    k = jnp.where(angle > 1e-8, jnp.sin(half) / jnp.maximum(angle, 1e-8),
+                  0.5)
+    return (ax * k, ay * k, az * k, jnp.cos(half))
+
+
+def _q_to_axis_angle(q):
+    """Row-tuple version of quaternion.to_axis_angle (halfspace, shortest
+    arc, angle in [0, pi])."""
+    x, y, z, w = _qnormalize(q)
+    sign = jnp.where(w < 0.0, -1.0, 1.0)
+    x, y, z, w = x * sign, y * sign, z * sign, w * sign
+    s = jnp.sqrt(x * x + y * y + z * z)
+    angle = 2.0 * jnp.arctan2(s, jnp.clip(w, -1.0, 1.0))
+    k = angle / jnp.maximum(s, 1e-8)
+    return (x * k, y * k, z * k)
+
+
 def _rot_mat(q):
     """Row-tuple quaternion -> 3x3 rotation entries R[a][b]."""
     x, y, z, w = q
@@ -49,7 +82,19 @@ def _mat_const_vec(R, c):
                  for a in range(3))
 
 
-def _make_kernel(model):
+def _make_kernel(model, lean: bool = False, fuse_spd: bool = False):
+    """lean=True: held-inverse warm substeps never read the mass matrix, so
+    S / I_sp / V (and the com/velocity FK fields) are dead OUTPUTS — Pallas
+    writes cannot be DCE'd by XLA, so a separate kernel skips them (~80% of
+    the full kernel's HBM write rows).  The RNEA still computes them
+    internally for the bias force; only the write set shrinks.
+
+    fuse_spd=True: the stable-PD torque (physics/step.spd_torque) is
+    computed in-kernel from two extra inputs (target_q, target_w) and the
+    c output becomes tau - damping*vel - c, so the whole XLA-side SPD
+    elementwise chain (quat integrate/mul/axis-angle, dof projection,
+    clamp) disappears.  Residual root wrenches / direct torques, when
+    present, are added by the caller in XLA (6 rows)."""
     J = model.num_joints
     NB = model.num_bodies
     NV = model.nv
@@ -75,9 +120,27 @@ def _make_kernel(model):
     for b in range(1, NB):
         children[int(parent[b])].append(b)
 
-    def kernel(root_ref, jq_ref, om_ref, vel_ref,
-               q_out, p_out, w_out, vo_out, com_out, vcom_out,
-               S_out, I_out, V_out, c_out, x_out):
+    if fuse_spd:
+        kp_v = np.asarray(model.kp, dtype=np.float64)
+        kd_v = np.asarray(model.kd, dtype=np.float64)
+        maxf_v = np.asarray(model.max_force, dtype=np.float64)
+        damping_v = np.asarray(model.damping, dtype=np.float64)
+        mov_joints = np.asarray(model.mov_joints)
+        mov_T = np.asarray(model.mov_dof_T, dtype=np.float64)
+        dt_sim = float(model.params.dt_sim)
+
+    def kernel(root_ref, jq_ref, om_ref, vel_ref, *refs):
+        if fuse_spd:
+            tq_ref, tw_ref = refs[0], refs[1]
+            out_refs = refs[2:]
+        else:
+            out_refs = refs
+        if lean:
+            q_out, p_out, c_out, x_out = out_refs
+        else:
+            (q_out, p_out, w_out, vo_out, com_out, vcom_out,
+             S_out, I_out, V_out, c_out, x_out) = out_refs
+
         def rows(ref, i, n):
             return tuple(ref[i + k, :] for k in range(n))
 
@@ -256,25 +319,44 @@ def _make_kernel(model):
                 q_out[4 * b + k, :] = body_q[b][k]
             for k in range(3):
                 p_out[3 * b + k, :] = body_p[b][k]
-                w_out[3 * b + k, :] = body_w[b][k]
-                vo_out[3 * b + k, :] = body_v[b][k]
-                com_out[3 * b + k, :] = body_com[b][k]
-                vcom_out[3 * b + k, :] = body_vcom[b][k]
-            for a in range(6):
-                V_out[6 * b + a, :] = V[b][a]
-                for bb in range(6):
-                    e = I_sp[b][a][bb]
-                    if e is None:
-                        e = body_p[0][0] * 0.0
-                    elif isinstance(e, float):
-                        e = body_p[0][0] * 0.0 + e
-                    I_out[36 * b + 6 * a + bb, :] = e
+                if not lean:
+                    w_out[3 * b + k, :] = body_w[b][k]
+                    vo_out[3 * b + k, :] = body_v[b][k]
+                    com_out[3 * b + k, :] = body_com[b][k]
+                    vcom_out[3 * b + k, :] = body_vcom[b][k]
+            if not lean:
+                for a in range(6):
+                    V_out[6 * b + a, :] = V[b][a]
+                    for bb in range(6):
+                        e = I_sp[b][a][bb]
+                        if e is None:
+                            e = body_p[0][0] * 0.0
+                        elif isinstance(e, float):
+                            e = body_p[0][0] * 0.0 + e
+                        I_out[36 * b + 6 * a + bb, :] = e
+        if fuse_spd:
+            # stable-PD error/velocity terms per movable joint
+            # (physics/step.spd_torque: q advanced by dt*omega, axis-angle
+            # error to the target, target_w - omega)
+            err_m, dw_m = [], []
+            for mi in range(len(mov_joints)):
+                j = int(mov_joints[mi])
+                qj = rows(jq_ref, 4 * j, 4)
+                omj = rows(om_ref, 3 * j, 3)
+                q_adv = _qnormalize(_qmul(
+                    qj, _q_from_axis_angle(tuple(o * dt_sim for o in omj))))
+                e = _qmul(_qconj(q_adv), rows(tq_ref, 4 * j, 4))
+                err_m.append(_q_to_axis_angle(e))
+                tw = rows(tw_ref, 3 * j, 3)
+                dw_m.append(tuple(tw[i] - omj[i] for i in range(3)))
+
         zero = body_p[0][0] * 0.0
         for d in range(NV):
-            for i in range(6):
-                e = S[d][i]
-                S_out[6 * d + i, :] = (zero + e) if isinstance(e, float) \
-                    else e
+            if not lean:
+                for i in range(6):
+                    e = S[d][i]
+                    S_out[6 * d + i, :] = (zero + e) \
+                        if isinstance(e, float) else e
             b = int(dof_body[d]) if int(dof_joint[d]) >= 0 else 0
             acc = None
             for i in range(6):
@@ -286,7 +368,32 @@ def _make_kernel(model):
                 else:
                     term = sd * F[b][i]
                 acc = term if acc is None else acc + term
-            c_out[d, :] = acc if acc is not None else zero
+            c_d = acc if acc is not None else zero
+            if not fuse_spd:
+                c_out[d, :] = c_d
+                continue
+            # emit tau - damping*vel - c instead of c
+            tau_d = None
+            if d >= 6:
+                pe = pw = None
+                for mi in range(len(mov_joints)):
+                    for i in range(3):
+                        t = float(mov_T[mi, d - 6, i])
+                        if t == 0.0:
+                            continue
+                        te = err_m[mi][i] * t
+                        tw_ = dw_m[mi][i] * t
+                        pe = te if pe is None else pe + te
+                        pw = tw_ if pw is None else pw + tw_
+                if pe is not None:
+                    v = float(kp_v[d]) * pe + float(kd_v[d]) * pw
+                    mf = float(maxf_v[d])
+                    tau_d = jnp.clip(v, -mf, mf)
+            tmc = (-c_d) if tau_d is None else (tau_d - c_d)
+            dmp = float(damping_v[d])
+            if dmp != 0.0:
+                tmc = tmc - dmp * vel_ref[d, :]
+            c_out[d, :] = tmc
 
     return kernel
 
@@ -294,10 +401,14 @@ def _make_kernel(model):
 _CACHE = {}
 
 
-def dynamics_fused_fm(model, root13, jq, om, vel, interpret=False):
-    """Feature-major entry: root13 (13,B), jq (4J,B), om (3J,B), vel (NV,B).
+def dynamics_fused_fm(model, root13, jq, om, vel, tq=None, tw=None,
+                      interpret=False, lean=False, fuse_spd=False):
+    """Feature-major entry: root13 (13,B), jq (4J,B), om (3J,B), vel (NV,B);
+    with fuse_spd also tq (4J,B), tw (3J,B).
 
-    Returns (q, p, w, vo, com, vcom, S, I, V, c, x) feature-major."""
+    Returns (q, p, w, vo, com, vcom, S, I, V, c, x) feature-major, or
+    (q, p, c, x) with lean=True; with fuse_spd the c slot holds
+    tau - damping*vel - c instead."""
     NB = model.num_bodies
     J = model.num_joints
     NV = model.nv
@@ -305,63 +416,53 @@ def dynamics_fused_fm(model, root13, jq, om, vel, interpret=False):
     B = root13.shape[-1]
     Bt = min(256, _round_up(B, 128))
     Bp = _round_up(B, Bt)
+    ins = [root13, jq, om, vel] + ([tq, tw] if fuse_spd else [])
     if Bp != B:
         pad = lambda x: jnp.pad(x, ((0, 0), (0, Bp - B)))
-        root13, jq, om, vel = (pad(v) for v in (root13, jq, om, vel))
+        ins = [pad(v) for v in ins]
 
-    key = id(model)
+    key = (id(model), lean, fuse_spd)
     if key not in _CACHE:
-        _CACHE[key] = _make_kernel(model)
+        _CACHE[key] = _make_kernel(model, lean, fuse_spd)
     kernel = _CACHE[key]
 
     def spec(rowsn):
         return pl.BlockSpec((rowsn, Bt), lambda i: (0, i),
                             memory_space=pltpu.VMEM)
 
-    out_rows = [4 * NB, 3 * NB, 3 * NB, 3 * NB, 3 * NB, 3 * NB,
-                6 * NV, 36 * NB, 6 * NB, NV, 3 * NP_]
+    if lean:
+        out_rows = [4 * NB, 3 * NB, NV, 3 * NP_]
+    else:
+        out_rows = [4 * NB, 3 * NB, 3 * NB, 3 * NB, 3 * NB, 3 * NB,
+                    6 * NV, 36 * NB, 6 * NB, NV, 3 * NP_]
+    in_rows = [13, 4 * J, 3 * J, NV] + ([4 * J, 3 * J] if fuse_spd else [])
     outs = pl.pallas_call(
         kernel,
         grid=(Bp // Bt,),
-        in_specs=[spec(13), spec(4 * J), spec(3 * J), spec(NV)],
+        in_specs=[spec(r) for r in in_rows],
         out_specs=[spec(r) for r in out_rows],
         out_shape=[jax.ShapeDtypeStruct((r, Bp), jnp.float32)
                    for r in out_rows],
         interpret=interpret,
-    )(root13, jq, om, vel)
+    )(*ins)
     return tuple(o[:, :B] for o in outs)
 
 
-def dynamics_terms_fused(model, state, interpret=False):
-    """Drop-in for (fk, dynamics_terms, contact_point_positions):
-
-    returns (FKResult, S (B,NV,6), I_sp (B,NB,6,6), V (B,NB,6), c (B,NV),
-    x (B,NP,3)).  Batched states only."""
-    from ..physics.fk import FKResult
+def _fm_inputs(model, state):
     from ..physics.state import joint_omega
-
-    assert state.root_p.ndim == 2, "fused dynamics expects a batched state"
     B = state.root_p.shape[0]
     J = model.num_joints
-    NB = model.num_bodies
-    NV = model.nv
-    NP_ = model.point_body.shape[0]
-
     om = joint_omega(model, state)
     root13 = jnp.concatenate(
         [state.root_p, state.root_q, state.vel[:, 0:3], state.vel[:, 3:6]],
         axis=-1).T
     jq = state.joint_q.reshape(B, 4 * J).T
     omf = om.reshape(B, 3 * J).T
-    velf = state.vel.T
+    return root13, jq, omf, state.vel.T
 
-    (q, p, w, vo, com, vcom, S, I, V, c, x) = dynamics_fused_fm(
-        model, root13, jq, omf, velf, interpret)
 
-    body_q = q.T.reshape(B, NB, 4)
-    body_p = p.T.reshape(B, NB, 3)
-
-    # per-dof tables (same as fk)
+def _dof_tables(model, body_q, body_p):
+    """Per-dof world axis/anchor tables (same as fk)."""
     from ..maths import quaternion as quat
     dof_body = jnp.asarray(model.dof_body)
     dof_joint = np.asarray(model.dof_joint)
@@ -372,6 +473,28 @@ def dynamics_terms_fused(model, state, interpret=False):
     is_root_dof = jnp.asarray(dof_joint < 0)[:, None]
     dof_axis = jnp.where(is_root_dof, axis_local, axis_joint)
     dof_pos = body_p[..., dof_body, :]
+    return dof_axis, dof_pos
+
+
+def dynamics_terms_fused(model, state, interpret=False):
+    """Drop-in for (fk, dynamics_terms, contact_point_positions):
+
+    returns (FKResult, S (B,NV,6), I_sp (B,NB,6,6), V (B,NB,6), c (B,NV),
+    x (B,NP,3)).  Batched states only."""
+    from ..physics.fk import FKResult
+
+    assert state.root_p.ndim == 2, "fused dynamics expects a batched state"
+    B = state.root_p.shape[0]
+    NB = model.num_bodies
+    NV = model.nv
+    NP_ = model.point_body.shape[0]
+
+    (q, p, w, vo, com, vcom, S, I, V, c, x) = dynamics_fused_fm(
+        model, *_fm_inputs(model, state), interpret=interpret)
+
+    body_q = q.T.reshape(B, NB, 4)
+    body_p = p.T.reshape(B, NB, 3)
+    dof_axis, dof_pos = _dof_tables(model, body_q, body_p)
 
     k = FKResult(
         body_q=body_q, body_p=body_p,
@@ -383,3 +506,40 @@ def dynamics_terms_fused(model, state, interpret=False):
     return (k, S.T.reshape(B, NV, 6), I.T.reshape(B, NB, 6, 6),
             V.T.reshape(B, NB, 6), c.T.reshape(B, NV),
             x.T.reshape(B, NP_, 3))
+
+
+def dynamics_terms_fused_lean(model, state, target_q=None, target_w=None,
+                              interpret=False):
+    """Held-inverse warm-substep variant: returns (FKResult, c, x) with
+    only the fields the contact pipeline consumes (body_q/body_p for the
+    jacobians and narrow phases, dof tables); body_com/w/vcom/vo are None
+    and S/I_sp/V are never written (see _make_kernel lean docstring).
+
+    With target_q/target_w ((B,J,4)/(B,J,3)), the stable-PD torque is
+    fused in-kernel and the c slot returns tau - damping*vel - c."""
+    from ..physics.fk import FKResult
+
+    assert state.root_p.ndim == 2, "fused dynamics expects a batched state"
+    B = state.root_p.shape[0]
+    NB = model.num_bodies
+    J = model.num_joints
+    NP_ = model.point_body.shape[0]
+
+    fuse_spd = target_q is not None
+    extra = {}
+    if fuse_spd:
+        extra = dict(tq=target_q.reshape(B, 4 * J).T,
+                     tw=target_w.reshape(B, 3 * J).T)
+    q, p, c, x = dynamics_fused_fm(
+        model, *_fm_inputs(model, state), interpret=interpret, lean=True,
+        fuse_spd=fuse_spd, **extra)
+
+    body_q = q.T.reshape(B, NB, 4)
+    body_p = p.T.reshape(B, NB, 3)
+    dof_axis, dof_pos = _dof_tables(model, body_q, body_p)
+
+    k = FKResult(
+        body_q=body_q, body_p=body_p,
+        body_com=None, body_w=None, body_vcom=None, body_vo=None,
+        dof_axis=dof_axis, dof_pos=dof_pos)
+    return k, c.T.reshape(B, model.nv), x.T.reshape(B, NP_, 3)

@@ -172,8 +172,10 @@ def _apgd_dispatch(K: int, iters: int, warm: bool):
                 a if bt else jnp.broadcast_to(a, (axis_size,) + a.shape)
                 for a, bt in zip(args, in_batched))
             A, b, n, t1, t2, act, mu, inv_L, lam0 = args
+            del inv_L  # kernel derives Gershgorin steps in VMEM; the
+            # XLA-side abs-sum pass over A becomes dead code
             out = apgd_solve(A, b, n, t1, t2, act.astype(jnp.float32),
-                             mu, inv_L, lam0, iters, warm)
+                             mu, lam0, iters, warm)
             return out, True
 
         _APGD_DISPATCH[key] = _apgd

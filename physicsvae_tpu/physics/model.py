@@ -91,6 +91,13 @@ class SimParams:
     # (tools/compare_step_kernels.py GATE ratio 0.98).  TPU-only, as
     # above.
     use_fused_dynamics: bool = True
+    # Lean warm-substep variant of the fused dynamics kernel: held-inverse
+    # warm substeps never read the mass matrix, so the kernel skips the
+    # S / I_sp / V / com / body-velocity writes (~80% of its output rows)
+    # and, for stable-PD, computes the SPD torque in-kernel (the c output
+    # becomes tau - damping*vel - c).  False = always run the full kernel
+    # (the ablation control for the r3b A/B).
+    fuse_warm_kernel: bool = True
     # bf16 inputs (f32 accumulation) for the bandwidth-dominant matmuls:
     # Newton–Schulz refinement, Delassus build, APGD matvec, qdd solve.
     # Validated: humanoid standing trajectory within 0.4 mm of f32 over 1 s;

@@ -160,16 +160,21 @@ class ObstacleContacts:
         self.v_obs = v_obs        # (...,S,3) obstacle velocity
 
 
-def detect_obstacle_contacts(model: PhysicsModel, obs: ObstacleState, k_fk):
+def detect_obstacle_contacts(model: PhysicsModel, obs: ObstacleState, k_fk,
+                             x=None):
     """Narrow phase vs the obstacle's ACTUAL shape: sphere by center
     distance, box by its axis-aligned SDF (thrown boxes do not spin in
     this engine) — no more bounding-sphere corners.  The deepest character
     candidate point per slot becomes a contact row for the unified APGD
     solve (Bullet resolves obstacle contacts in the same solver,
-    sim_obstacle.py + stepSimulation)."""
-    from .fk import contact_point_positions
+    sim_obstacle.py + stepSimulation).
 
-    x, _ = contact_point_positions(model, k_fk)          # (...,NP,3)
+    x: optional precomputed candidate-point positions (...,NP,3) — the
+    fused dynamics kernel already emits them, and the lean FKResult
+    carries no velocity fields for contact_point_positions to use."""
+    if x is None:
+        from .fk import contact_point_positions
+        x, _ = contact_point_positions(model, k_fk)      # (...,NP,3)
     r_p = jnp.asarray(model.point_radius)                # (NP,)
     d = x[..., None, :, :] - obs.pos[..., :, None, :]    # (...,S,NP,3)
 

@@ -215,15 +215,21 @@ def _damped_mass_matrix(model: PhysicsModel, M, dt):
 _FUSED_DYN_CACHE = {}
 
 
-def _fused_dynamics(model: PhysicsModel):
+def _fused_dynamics(model: PhysicsModel, lean: bool = False):
     """custom_vmap dispatch for the fused kinematics+dynamics kernel:
     unbatched calls fall back to the XLA path; vmapped calls run ONE
-    Pallas program (ops/dyn_kernel.py) — same pattern as physics/fk.fk."""
-    key = id(model)
+    Pallas program (ops/dyn_kernel.py) — same pattern as physics/fk.fk.
+
+    lean=True (held-inverse warm substeps): the mass matrix is dead, so
+    the kernel skips the S / I_sp / V / com / body-velocity writes and
+    returns only (FKResult-with-None-velocity-fields, c, x)."""
+    key = (id(model), lean)
     if key in _FUSED_DYN_CACHE:
         return _FUSED_DYN_CACHE[key]
 
     from jax import custom_batching
+
+    import dataclasses as _dc
 
     from .dynamics import dynamics_terms_split
     from .fk import _fk_xla
@@ -234,13 +240,66 @@ def _fused_dynamics(model: PhysicsModel):
         k = _fk_xla(model, state)
         S, I_sp, V, c = dynamics_terms_split(model, state, k)
         x, _ = contact_point_positions(model, k)
+        if lean:
+            # same pytree structure as the kernel rule; XLA DCEs the rest
+            k = _dc.replace(k, body_com=None, body_w=None,
+                            body_vcom=None, body_vo=None)
+            return k, c, x
         return k, S, I_sp, V, c, x
 
     @_f.def_vmap
     def _rule(axis_size, in_batched, root_p, root_q, joint_q, vel):
-        from ..ops.dyn_kernel import dynamics_terms_fused
+        from ..ops.dyn_kernel import (dynamics_terms_fused,
+                                      dynamics_terms_fused_lean)
         state = SimState(root_p, root_q, joint_q, vel)
-        out = dynamics_terms_fused(model, state)
+        out = (dynamics_terms_fused_lean(model, state) if lean
+               else dynamics_terms_fused(model, state))
+        return out, jax.tree.map(lambda _: True, out)
+
+    _FUSED_DYN_CACHE[key] = _f
+    return _f
+
+
+def _fused_dynamics_spd(model: PhysicsModel):
+    """Lean variant with the stable-PD torque fused in-kernel: returns
+    (FKResult-lean, tau - damping*vel - c, x).  Residual root wrenches /
+    direct torques are added by the caller in XLA."""
+    key = (id(model), "spd")
+    if key in _FUSED_DYN_CACHE:
+        return _FUSED_DYN_CACHE[key]
+
+    import dataclasses as _dc
+
+    from jax import custom_batching
+
+    from .dynamics import dynamics_terms_split
+    from .fk import _fk_xla
+
+    @custom_batching.custom_vmap
+    def _f(root_p, root_q, joint_q, vel, target_q, target_w):
+        state = SimState(root_p, root_q, joint_q, vel)
+        k = _fk_xla(model, state)
+        S, I_sp, V, c = dynamics_terms_split(model, state, k)
+        x, _ = contact_point_positions(model, k)
+        tau = spd_torque(model, state,
+                         Action(target_q=target_q, target_w=target_w),
+                         model.params.dt_sim)
+        k = _dc.replace(k, body_com=None, body_w=None,
+                        body_vcom=None, body_vo=None)
+        return k, tau - c, x
+
+    @_f.def_vmap
+    def _rule(axis_size, in_batched, root_p, root_q, joint_q, vel,
+              target_q, target_w):
+        from ..ops.dyn_kernel import dynamics_terms_fused_lean
+        state = SimState(root_p, root_q, joint_q, vel)
+        target_q = jnp.broadcast_to(
+            target_q, (axis_size,) + target_q.shape[-2:]) \
+            if not in_batched[4] else target_q
+        target_w = jnp.broadcast_to(
+            target_w, (axis_size,) + target_w.shape[-2:]) \
+            if not in_batched[5] else target_w
+        out = dynamics_terms_fused_lean(model, state, target_q, target_w)
         return out, jax.tree.map(lambda _: True, out)
 
     _FUSED_DYN_CACHE[key] = _f
@@ -260,16 +319,39 @@ def substep_presolve(model: PhysicsModel, state: SimState, action: Action,
     p = model.params
     dt = p.dt_sim
 
+    n_refine = p.ns_iters if refine_iters is None else refine_iters
+    # Held-inverse warm substeps never touch the mass matrix: use the lean
+    # kernel (no S/I_sp/V/com/velocity writes — Pallas outputs are not
+    # XLA-DCE-able).  Whether a substep is warm is static (refine_iters is
+    # a Python int; Minv-ness is structural), so this is a trace-time pick.
+    # For stable-PD the torque is fused in-kernel too (tmc = tau - c).
+    lean = Minv is not None and n_refine == 0 and p.fuse_warm_kernel
+    tmc = None
     if p.use_fused_dynamics and kernels_on_tpu():
-        k, S, I_sp, V, c, x_pts = _fused_dynamics(model)(
-            state.root_p, state.root_q, state.joint_q, state.vel)
-        from .dynamics import mass_matrix
-        M = mass_matrix(model, S, I_sp)
+        if lean and p.actuation == "spd":
+            k, tmc, x_pts = _fused_dynamics_spd(model)(
+                state.root_p, state.root_q, state.joint_q, state.vel,
+                action.target_q, action.target_w)
+            if action.root_force is not None:
+                tmc = tmc.at[..., 0:3].add(action.root_force)
+            if action.root_torque is not None:
+                tmc = tmc.at[..., 3:6].add(action.root_torque)
+            if action.torque is not None:
+                tmc = tmc + action.torque
+            M = None
+        elif lean:
+            k, c, x_pts = _fused_dynamics(model, lean=True)(
+                state.root_p, state.root_q, state.joint_q, state.vel)
+            M = None
+        else:
+            k, S, I_sp, V, c, x_pts = _fused_dynamics(model)(
+                state.root_p, state.root_q, state.joint_q, state.vel)
+            from .dynamics import mass_matrix
+            M = mass_matrix(model, S, I_sp)
     else:
         k = fk(model, state)
         S, M, c = dynamics_terms(model, state, k)
         x_pts = None
-    n_refine = p.ns_iters if refine_iters is None else refine_iters
     if Minv is None:
         M_hat = _damped_mass_matrix(model, M, dt)
         # NS cold inverse only for stable-PD: its implicit dt*kd diagonal
@@ -291,18 +373,20 @@ def substep_presolve(model: PhysicsModel, state: SimState, action: Action,
     # M and M_hat are then dead code and XLA DCEs the mass-matrix build.
 
     mode = p.actuation
-    if mode == "spd":
-        tau = spd_torque(model, state, action, dt)
-    elif mode == "pd":
-        tau = pd_torque(model, state, action)
-    else:  # cpd / cp / v / tq / none: motor handled below or absent
-        tau = _aux_tau(model, state, action)
+    if tmc is None:
+        if mode == "spd":
+            tau = spd_torque(model, state, action, dt)
+        elif mode == "pd":
+            tau = pd_torque(model, state, action)
+        else:  # cpd / cp / v / tq / none: motor handled below or absent
+            tau = _aux_tau(model, state, action)
+        tmc = tau - c
     if p.matmul_bf16:
         qdd = jnp.einsum("...ij,...j->...i", Minv.astype(jnp.bfloat16),
-                         (tau - c).astype(jnp.bfloat16),
+                         tmc.astype(jnp.bfloat16),
                          preferred_element_type=state.vel.dtype)
     else:
-        qdd = jnp.einsum("...ij,...j->...i", Minv, tau - c)
+        qdd = jnp.einsum("...ij,...j->...i", Minv, tmc)
     v_pred = state.vel + dt * qdd
     if mode in ("cpd", "cp", "v"):
         v_pred = v_pred + servo_delta_v(model, state, action, v_pred, Minv,
@@ -360,7 +444,8 @@ def solve_ground_self(model: PhysicsModel, k, Minv, v_pred,
     n_char_rows = cons.depth.shape[-1]
     if obstacles is not None:
         from . import obstacles as obstacles_mod
-        oc = obstacles_mod.detect_obstacle_contacts(model, obstacles, k)
+        oc = obstacles_mod.detect_obstacle_contacts(model, obstacles, k,
+                                                    x=x)
         oc_cons = contacts_mod.Contacts(
             pos=oc.pos, depth=oc.depth, active=oc.active, body=oc.body,
             point_idx=oc.point_idx)

@@ -43,7 +43,8 @@ def test_kernel_matches_xla(warm):
         jnp.asarray, _random_system(rng, B, K))
     ref = jax.vmap(lambda *xs: contacts_mod._apgd_xla(*xs, iters, warm))(
         A, b, n, t1, t2, act, mu, inv_L, lam0)
-    out = apgd_solve(A, b, n, t1, t2, act, mu, inv_L, lam0, iters, warm,
+    # the kernel derives its Gershgorin steps in-kernel from the bf16 A
+    out = apgd_solve(A, b, n, t1, t2, act, mu, lam0, iters, warm,
                      interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-2, rtol=2e-2)

@@ -75,6 +75,25 @@ def test_fused_matches_xla(setup):
     np.testing.assert_allclose(np.asarray(x), np.asarray(x_ref), atol=1e-5)
 
 
+def test_lean_matches_xla(setup):
+    """Lean (held-inverse warm substep) kernel: q/p/c/x identical to the
+    full kernel's corresponding outputs."""
+    from physicsvae_tpu.ops.dyn_kernel import (dynamics_terms_fused,
+                                               dynamics_terms_fused_lean)
+
+    model, sts = setup
+    k_f, _, _, _, c_f, x_f = dynamics_terms_fused(model, sts,
+                                                  interpret=True)
+    k, c, x = dynamics_terms_fused_lean(model, sts, interpret=True)
+    assert k.body_com is None and k.body_w is None
+    np.testing.assert_array_equal(np.asarray(k.body_q),
+                                  np.asarray(k_f.body_q))
+    np.testing.assert_array_equal(np.asarray(k.body_p),
+                                  np.asarray(k_f.body_p))
+    np.testing.assert_array_equal(np.asarray(c), np.asarray(c_f))
+    np.testing.assert_array_equal(np.asarray(x), np.asarray(x_f))
+
+
 def test_substep_with_fused_dynamics_interpret(setup, monkeypatch):
     """Full control step with use_fused_dynamics matches the XLA path."""
     import dataclasses

@@ -78,6 +78,9 @@ def main():
         # round-3 kernels (now default-on; xla_path is the A/B control)
         ("xla_path", {"use_fused_dynamics": False,
                       "use_pallas_apgd": False}, args.batch),
+        # r3b lean warm-substep kernel (lean outputs + in-kernel SPD);
+        # full_warm_kernel is the A/B control (the pre-r3b default)
+        ("full_warm_kernel", {"fuse_warm_kernel": False}, args.batch),
         ("pallas_apgd", {"use_pallas_apgd": True}, args.batch),
         ("pallas_fk", {"use_pallas_fk": True}, args.batch),
         ("fused_dyn", {"use_fused_dynamics": True}, args.batch),

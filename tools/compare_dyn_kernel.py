@@ -75,6 +75,16 @@ def main():
     print("c      ", d(c, c_r))
     print("x      ", d(x, x_r))
 
+    # lean (held-inverse warm substep) variant: must match the full kernel
+    # exactly on its emitted subset
+    from physicsvae_tpu.ops.dyn_kernel import dynamics_terms_fused_lean
+    kl, cl, xl = jax.jit(
+        lambda s: dynamics_terms_fused_lean(model, s))(sts)
+    print("lean body_q vs full", d(kl.body_q, k.body_q))
+    print("lean body_p vs full", d(kl.body_p, k.body_p))
+    print("lean c      vs full", d(cl, c))
+    print("lean x      vs full", d(xl, x))
+
 
 if __name__ == "__main__":
     main()
