@@ -541,17 +541,32 @@ def control_step(model: PhysicsModel, state: SimState, action: Action,
     def cast_carry(Mi):
         return Mi.astype(jnp.bfloat16) if _bf16_inverse_ok(model) else Mi
 
-    warm_refine = None if model.params.ns_refine_every else 0
+    if model.params.ns_refine_every:
+        def body(carry, _):
+            st, Mi, ob, lm = carry
+            st, Mi, ob, lm = substep(model, st, action, Mi, ground_height,
+                                     ob, lam_warm=lm)
+            return (st, cast_carry(Mi), ob, lm), None
 
-    def body(carry, _):
-        st, Mi, ob, lm = carry
-        st, Mi, ob, lm = substep(model, st, action, Mi, ground_height, ob,
-                                 lam_warm=lm, refine_iters=warm_refine)
-        return (st, cast_carry(Mi), ob, lm), None
+        (state, _, obstacles2, _), _ = jax.lax.scan(
+            body, (state, cast_carry(Minv), obstacles2, lam), None,
+            length=model.params.num_substeps - 1)
+    else:
+        # held inverse: Minv is loop-INVARIANT — close over it instead of
+        # threading it through the scan carry (guarantees XLA never copies
+        # the (B,NV,NV) buffer per substep)
+        Minv_held = cast_carry(Minv)
 
-    (state, _, obstacles2, _), _ = jax.lax.scan(
-        body, (state, cast_carry(Minv), obstacles2, lam), None,
-        length=model.params.num_substeps - 1)
+        def body(carry, _):
+            st, ob, lm = carry
+            st, _, ob, lm = substep(model, st, action, Minv_held,
+                                    ground_height, ob, lam_warm=lm,
+                                    refine_iters=0)
+            return (st, ob, lm), None
+
+        (state, obstacles2, _), _ = jax.lax.scan(
+            body, (state, obstacles2, lam), None,
+            length=model.params.num_substeps - 1)
     if obstacles is None:
         return state
     return state, obstacles2
@@ -582,17 +597,30 @@ def control_step_carry(model: PhysicsModel, state: SimState, action: Action,
     def cast_carry(Mi):
         return Mi.astype(jnp.bfloat16) if _bf16_inverse_ok(model) else Mi
 
-    warm_refine = None if model.params.ns_refine_every else 0
+    if model.params.ns_refine_every:
+        def body(carry, _):
+            st, Mi, ob, lm = carry
+            st, Mi, ob, lm = substep(model, st, action, Mi, ground_height,
+                                     ob, lam_warm=lm)
+            return (st, cast_carry(Mi), ob, lm), None
 
-    def body(carry, _):
-        st, Mi, ob, lm = carry
-        st, Mi, ob, lm = substep(model, st, action, Mi, ground_height, ob,
-                                 lam_warm=lm, refine_iters=warm_refine)
-        return (st, cast_carry(Mi), ob, lm), None
+        (state, Minv, obstacles2, _), _ = jax.lax.scan(
+            body, (state, cast_carry(Minv), obstacles2, lam), None,
+            length=model.params.num_substeps - 1)
+    else:
+        # held inverse: loop-invariant Minv rides in the closure, not the
+        # carry (see control_step)
+        Minv = cast_carry(Minv)
 
-    (state, Minv, obstacles2, _), _ = jax.lax.scan(
-        body, (state, cast_carry(Minv), obstacles2, lam), None,
-        length=model.params.num_substeps - 1)
+        def body(carry, _):
+            st, ob, lm = carry
+            st, _, ob, lm = substep(model, st, action, Minv, ground_height,
+                                    ob, lam_warm=lm, refine_iters=0)
+            return (st, ob, lm), None
+
+        (state, obstacles2, _), _ = jax.lax.scan(
+            body, (state, obstacles2, lam), None,
+            length=model.params.num_substeps - 1)
     return state, Minv, obstacles2
 
 
