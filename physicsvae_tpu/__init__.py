@@ -6,7 +6,21 @@ imitation environments, PhysicsVAE conditional-VAE models, on-device PPO.
 
 __version__ = "0.1.0"
 
+import os as _os
+
 import jax as _jax
+
+# Persistent compilation cache for every entry point (driver, trainers,
+# bench, tools): the 16-substep physics program costs minutes of XLA
+# compile cold; repeat runs should pay it once per program shape.
+# PHYSICSVAE_CACHE_DIR overrides; empty string disables.
+_cache_dir = _os.environ.get(
+    "PHYSICSVAE_CACHE_DIR",
+    _os.path.abspath(_os.path.join(_os.path.dirname(__file__), "..",
+                                   ".jax_cache")))
+if _cache_dir:
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 # True-f32 matmuls everywhere by default.  On TPU, JAX's DEFAULT matmul
 # precision computes f32 contractions with bf16 inputs (~2.6e-3 relative

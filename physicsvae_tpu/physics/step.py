@@ -194,6 +194,19 @@ def servo_delta_v(model: PhysicsModel, state: SimState, action: Action,
     return jnp.einsum("...ij,...j->...i", Minv, imp)
 
 
+def _hold_inverse_ok(model: PhysicsModel) -> bool:
+    """The held-inverse cadence (ns_refine_every=0) is only stable for
+    stable-PD: its implicit dt*kd diagonal dominates M_hat, so a
+    1/fps_con-stale inverse stays an excellent preconditioner.  The
+    barely-damped M_hat of pd/cpd/cp/v/tq/none tracks the pose much more
+    tightly — and the cpd/cp/v servo iteration consumes Minv's diagonal
+    directly — so a held inverse diverges within a few substeps (found by
+    tests/test_actuation_modes.py after the default flip).  Non-spd modes
+    always refine every warm substep."""
+    return model.params.ns_refine_every == 0 and \
+        model.params.actuation == "spd"
+
+
 def _bf16_inverse_ok(model: PhysicsModel) -> bool:
     """bf16 Newton–Schulz refinement (and the bf16-carried inverse) is only
     safe for stable-PD: its implicit dt*kd diagonal conditions M_hat enough
@@ -541,7 +554,7 @@ def control_step(model: PhysicsModel, state: SimState, action: Action,
     def cast_carry(Mi):
         return Mi.astype(jnp.bfloat16) if _bf16_inverse_ok(model) else Mi
 
-    if model.params.ns_refine_every:
+    if not _hold_inverse_ok(model):
         def body(carry, _):
             st, Mi, ob, lm = carry
             st, Mi, ob, lm = substep(model, st, action, Mi, ground_height,
@@ -597,7 +610,7 @@ def control_step_carry(model: PhysicsModel, state: SimState, action: Action,
     def cast_carry(Mi):
         return Mi.astype(jnp.bfloat16) if _bf16_inverse_ok(model) else Mi
 
-    if model.params.ns_refine_every:
+    if not _hold_inverse_ok(model):
         def body(carry, _):
             st, Mi, ob, lm = carry
             st, Mi, ob, lm = substep(model, st, action, Mi, ground_height,
