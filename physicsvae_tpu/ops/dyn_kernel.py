@@ -53,14 +53,40 @@ def _q_from_axis_angle(a):
     return (ax * k, ay * k, az * k, jnp.cos(half))
 
 
+# Odd-polynomial asin(t) = t*P(t^2) on [0, 1/sqrt(2)], max abs err ~2e-7
+# rad in f32 (least-squares fit on Chebyshev nodes; see docs/PERF_r4.md).
+# Mosaic has no atan2/asin/acos lowering, so the axis-angle extraction
+# below branches asin(s) vs pi/2-asin(w) — both args stay in [0,1/sqrt2]
+# where the polynomial is well-conditioned.
+_ASIN_COEFFS = (
+    0.999999999868055, 0.16666674149893076, 0.0749947216955138,
+    0.04478040384633793, 0.02860867305871449, 0.03520486287460474,
+    -0.03764952586365863, 0.1540006479953988, -0.1881586096785944,
+    0.1398153055385661)
+
+
+def _asin_core(t):
+    t2 = t * t
+    p = _ASIN_COEFFS[-1]
+    for c in _ASIN_COEFFS[-2::-1]:
+        p = p * t2 + c
+    return t * p
+
+
 def _q_to_axis_angle(q):
     """Row-tuple version of quaternion.to_axis_angle (halfspace, shortest
-    arc, angle in [0, pi])."""
+    arc, angle in [0, pi]).  atan2(s, w) is rewritten as a two-branch
+    polynomial asin (Mosaic-lowerable; s,w >= 0 after halfspace flip and
+    s^2+w^2=1, so half-angle = asin(s) for s<=w else pi/2-asin(w))."""
     x, y, z, w = _qnormalize(q)
     sign = jnp.where(w < 0.0, -1.0, 1.0)
     x, y, z, w = x * sign, y * sign, z * sign, w * sign
     s = jnp.sqrt(x * x + y * y + z * z)
-    angle = 2.0 * jnp.arctan2(s, jnp.clip(w, -1.0, 1.0))
+    s_c = jnp.clip(s, 0.0, 1.0)
+    w_c = jnp.clip(w, 0.0, 1.0)
+    a = _asin_core(jnp.minimum(s_c, w_c))
+    half = jnp.where(s_c <= w_c, a, jnp.float32(0.5 * jnp.pi) - a)
+    angle = 2.0 * half
     k = angle / jnp.maximum(s, 1e-8)
     return (x * k, y * k, z * k)
 

@@ -364,7 +364,7 @@ def build_model(cm: CharacterModel, ci: CharInfo,
 
     joint_weight = np.concatenate([[ci.root_joint_weight], ci.joint_weight])
 
-    return PhysicsModel(
+    model = PhysicsModel(
         params=params,
         num_joints=J,
         num_bodies=NB,
@@ -410,6 +410,12 @@ def build_model(cm: CharacterModel, ci: CharInfo,
         v_face=ci.v_face,
         v_up_env=ci.v_up_env,
     )
+    # One-time TPU-lowering probe of the default-on Pallas kernels: a
+    # kernel that stops lowering on this toolchain downgrades its flag to
+    # the XLA path (with a warning) instead of crashing every TPU run —
+    # the round-3 failure class (ops/probe.py).
+    from ..ops.probe import apply_kernel_probe
+    return apply_kernel_probe(model)
 
 
 def load_loco_model(project_dir: str = "/root/reference",

@@ -29,11 +29,23 @@ from .model import PhysicsModel
 from .state import SimState, joint_omega
 
 
+_FORCE_XLA = False
+
+
+def force_xla_path(on: bool = True) -> None:
+    """Globally disable the Pallas kernels (bench.py's last-resort retry
+    after a kernel compile/run failure: flip this, jax.clear_caches(),
+    rebuild the env, retrace).  The first line of defense is the
+    lowering probe at model build (ops/probe.py)."""
+    global _FORCE_XLA
+    _FORCE_XLA = on
+
+
 def kernels_on_tpu() -> bool:
     """The opt-in Pallas kernels have no non-interpret CPU lowering; the
     use_* flags only take effect when tracing for a TPU backend (CPU test
     runs and the virtual-mesh multichip dryrun keep the XLA path)."""
-    return jax.default_backend() == "tpu"
+    return (not _FORCE_XLA) and jax.default_backend() == "tpu"
 
 
 class Action(NamedTuple):

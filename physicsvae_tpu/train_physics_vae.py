@@ -63,6 +63,10 @@ def arg_parser():
                         "epochs (beta-annealing; 0 = reference loss)")
     p.add_argument("--vae_free_bits", type=float, default=0.0,
                    help="per-latent-dim KL floor in nats (0 = off)")
+    p.add_argument("--use_a_gt", action="store_true",
+                   help="train on the noise-free expert actions "
+                        "(action_gt; reference "
+                        "load_dataset_for_PhysicsVAE use_a_gt)")
     return p
 
 
@@ -80,7 +84,8 @@ def main(argv=None):
     prior_grid = args.latent_prior_type or ["normal_zero_mean_one_std"]
 
     X, Y, data = load_physics_vae_dataset(
-        args.data_train, num_samples=args.num_data, lookahead=args.lookahead)
+        args.data_train, num_samples=args.num_data, lookahead=args.lookahead,
+        use_a_gt=args.use_a_gt)
     dim_sb = data["dim_state_body"]
     dim_a = data["dim_action"]
     print(f"dataset: {X.shape[0]} tuples, dim_state_body={dim_sb}, "
