@@ -13,14 +13,24 @@ import jax as _jax
 # Persistent compilation cache for every entry point (driver, trainers,
 # bench, tools): the 16-substep physics program costs minutes of XLA
 # compile cold; repeat runs should pay it once per program shape.
-# PHYSICSVAE_CACHE_DIR overrides; empty string disables.
-_cache_dir = _os.environ.get(
-    "PHYSICSVAE_CACHE_DIR",
-    _os.path.abspath(_os.path.join(_os.path.dirname(__file__), "..",
-                                   ".jax_cache")))
-if _cache_dir:
-    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
-    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+# Precedence: a user-set JAX_COMPILATION_CACHE_DIR wins (never override
+# it); then PHYSICSVAE_CACHE_DIR (empty string disables); then the repo
+# checkout's .jax_cache when the package is an editable/source checkout,
+# else a per-user cache dir (a site-packages install must not write next
+# to itself).
+if not _os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+    _cache_dir = _os.environ.get("PHYSICSVAE_CACHE_DIR")
+    if _cache_dir is None:
+        _repo = _os.path.abspath(_os.path.join(_os.path.dirname(__file__),
+                                               ".."))
+        if _os.path.isdir(_os.path.join(_repo, ".git")):
+            _cache_dir = _os.path.join(_repo, ".jax_cache")
+        else:
+            _cache_dir = _os.path.join(
+                _os.path.expanduser("~"), ".cache", "physicsvae_jax")
+    if _cache_dir:
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 # True-f32 matmuls everywhere by default.  On TPU, JAX's DEFAULT matmul
 # precision computes f32 contractions with bf16 inputs (~2.6e-3 relative

@@ -9,6 +9,7 @@
 #
 # Run alone on the TPU:  bash tools/run_stage3_fb.sh [demo_pickle]
 set -e
+shopt -s nullglob  # a trial without ckpt_final skips eval, not abort
 cd "$(dirname "$0")/.."
 
 DEMO=${1:-/root/repo/data/learning/demo_r3.pkl}
