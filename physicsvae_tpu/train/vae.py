@@ -167,6 +167,115 @@ def make_loss_fn(model: PhysicsVAE, cfg: VAETrainConfig):
     return loss_fn
 
 
+class ParallelCVAETrials:
+    """Concurrent hyperparameter trials on one chip: the TPU-native
+    equivalent of tune.grid_search running trials in parallel
+    (train_physics_vae.py:264-285 + tune.run).
+
+    All trials in a group share one architecture (same prior type /
+    widths), so their training steps are the SAME program; the loss
+    coefficients (vae_kl_coeff, vae_cycle_coeff) become traced per-trial
+    scalars and the whole epoch is vmapped over (params, opt_state,
+    coeffs).  One dispatch trains every trial — the MXU sees batch
+    T x 256 instead of 256, which is where the concurrency comes from.
+
+    cVAE phase only: the world-model phase has kl=cyc=0, so all trials
+    would train an identical world model — pretrain it once (sequential
+    trainer) and broadcast via `world_params`.
+    """
+
+    def __init__(self, mcfg, cfg: VAETrainConfig, combos, rng,
+                 init_params=None):
+        import numpy as _np
+
+        self.model = PhysicsVAE(mcfg)
+        self.cfg = cfg
+        self.combos = list(combos)          # [(kl, cyc), ...]
+        T = len(self.combos)
+        obs = jnp.zeros((1, mcfg.dim_state))
+        variables = self.model.init({"params": rng}, obs, rng=rng,
+                                    sample=False)
+        # init_params: a single-trial tree (e.g. fresh init with the
+        # pretrained world model grafted in by checkpoint.load_component)
+        params = init_params if init_params is not None \
+            else variables["params"]
+        self.constants = variables.get("constants", {})
+        # identical init per trial (each sequential trial also inits from
+        # PRNGKey(0)); coefficients are the only cross-trial difference
+        self.params = jax.tree.map(lambda x: jnp.broadcast_to(
+            x, (T,) + x.shape).copy(), params)
+        self.kl_arr = jnp.asarray([k for k, _ in self.combos], jnp.float32)
+        self.cyc_arr = jnp.asarray([c for _, c in self.combos], jnp.float32)
+        self.iter = 0
+        self.rng = rng
+        self.loss_fn = make_loss_fn(self.model, cfg)
+        self._np = _np
+
+    def _build(self, steps_per_epoch: int):
+        self.tx = make_optimizer(self.cfg, world_phase=False,
+                                 steps_per_epoch=steps_per_epoch)
+        self.opt_state = jax.vmap(self.tx.init)(self.params)
+
+        def _epoch_one(params, opt_state, kl_c, cyc_c, constants, X, Y,
+                       idx, rng, kl_scale):
+            # same structure as VAETrainer._epoch_jit, with kl/cyc traced
+            coeffs = {"kl": kl_c, "a_rec": self.cfg.a_rec_coeff,
+                      "s_rec": 0.0, "cyc": cyc_c}
+
+            def body(carry, b_idx):
+                params, opt_state, rng = carry
+                rng, sub = jax.random.split(rng)
+                x = jnp.take(X, b_idx, axis=0)
+                y = jnp.take(Y, b_idx, axis=0)
+                (_, metrics), grads = jax.value_and_grad(
+                    self.loss_fn, has_aux=True)(
+                        params, constants, x, y, sub, coeffs, kl_scale)
+                updates, opt_state = self.tx.update(grads, opt_state,
+                                                    params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state, rng), metrics
+
+            (params, opt_state, _), ms = jax.lax.scan(
+                body, (params, opt_state, rng), idx)
+            return params, opt_state, jax.tree.map(jnp.mean, ms)
+
+        self._epoch_jit = jax.jit(
+            jax.vmap(_epoch_one,
+                     in_axes=(0, 0, 0, 0, None, None, None, None, None,
+                              None)),
+            donate_argnums=(0, 1))
+
+    def train_epoch_device(self, Xd, Yd, np_rng):
+        """One vmapped epoch across all trials; returns a list of
+        per-trial metric dicts (same schema as VAETrainer)."""
+        self.iter += 1
+        n = Xd.shape[0]
+        if not hasattr(self, "_epoch_jit"):
+            self._build(max(1, n // self.cfg.batch_size))
+        if self.cfg.kl_anneal_iters > 0:
+            kl_scale = min(1.0, max(self.iter, 1) / self.cfg.kl_anneal_iters)
+        else:
+            kl_scale = 1.0
+        nb = max(1, n // self.cfg.batch_size)
+        idx = np_rng.permutation(n)[:nb * self.cfg.batch_size]
+        idx = idx.reshape(nb, -1)
+        self.rng, sub = jax.random.split(self.rng)
+        self.params, self.opt_state, ms = self._epoch_jit(
+            self.params, self.opt_state, self.kl_arr, self.cyc_arr,
+            self.constants, Xd, Yd, jnp.asarray(idx), sub,
+            jnp.asarray(kl_scale, jnp.float32))
+        out = []
+        for t in range(len(self.combos)):
+            m = {k: float(v[t]) for k, v in ms.items()}
+            m["iter"] = self.iter
+            m["phase"] = "cvae"
+            out.append(m)
+        return out
+
+    def trial_params(self, t: int):
+        return jax.tree.map(lambda x: x[t], self.params)
+
+
 class VAETrainer:
     """Host-side loop; each minibatch update is one jitted step.
 
@@ -260,6 +369,24 @@ class VAETrainer:
         mean["iter"] = self.iter
         mean["phase"] = "world_model" if self.world_phase else "cvae"
         return mean
+
+    def eval_metrics(self, Xt, Yt):
+        """Held-out metrics under the current phase's coefficients
+        (torch_models.py:146-161 test epoch; fixed rng so the reparam
+        noise is deterministic across epochs)."""
+        if getattr(self, "_eval_phase", None) != self.world_phase:
+            coeffs = dict(self.coeffs)
+
+            def _ev(params, constants, x, y, rng):
+                _, m = self.loss_fn(params, constants, x, y, rng, coeffs,
+                                    1.0)
+                return m
+
+            self._eval_jit = jax.jit(_ev)
+            self._eval_phase = self.world_phase
+        m = self._eval_jit(self.params, self.constants, Xt, Yt,
+                           jax.random.PRNGKey(1234))
+        return {f"test_{k}": float(v) for k, v in m.items()}
 
     def train_epoch_device(self, Xd, Yd, np_rng):
         """One epoch via the scanned device program.  Xd/Yd are
