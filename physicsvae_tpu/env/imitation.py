@@ -146,7 +146,9 @@ class ImitationEnv:
         db = self.db
         dt = self.model.params.dt_sim
         nv = self.model.nv
-        cpu = jax.devices("cpu")[0]
+        # local_devices: under multi-host the global list leads with
+        # process 0's devices (non-addressable elsewhere)
+        cpu = jax.local_devices(backend="cpu")[0]
 
         # every 4th frame (0.13 s): seeds tolerate far coarser quantization
         # (3 f32 refinements converge from resid ~12; nearest-frame resid

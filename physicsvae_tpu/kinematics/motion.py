@@ -96,7 +96,10 @@ def _with_velocities(root_p, root_q, joint_q, fps) -> Motion:
     (~530 s of a 650 s cold env build in the r3 profile); build_db uploads
     the stacked DB to the accelerator in one transfer afterwards.
     """
-    cpu = jax.devices("cpu")[0]
+    # local_devices, not devices: under multi-host (jax.distributed) the
+    # global device list starts with process 0's devices, and pinning to a
+    # non-addressable device breaks every other process's env build.
+    cpu = jax.local_devices(backend="cpu")[0]
     with jax.default_device(cpu):
         root_p = jnp.asarray(root_p, dtype=jnp.float32)
         root_q = jnp.asarray(quat.normalize(jnp.asarray(root_q)),
