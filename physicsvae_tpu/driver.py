@@ -46,6 +46,21 @@ def arg_parser():
                    choices=["full", "pass_through"],
                    help="physics_vae runtime eval mode "
                         "(EnvRunner, envs/rllib_env_imitation.py:215-270)")
+    p.add_argument("--fixed_z_seed", type=int, default=None,
+                   help="pass_through z-sweep: hold ONE prior sample "
+                        "(drawn with this seed) fixed for all steps")
+    # Multi-host bootstrap (replaces the reference's Ray head/client
+    # ip_head env-var bootstrap, rllib_driver.py:87-117); also settable
+    # via PVAE_COORDINATOR / PVAE_NUM_PROCESSES / PVAE_PROCESS_ID.
+    p.add_argument("--coordinator", type=str, default=None,
+                   help="host:port of process 0 (multi-host DCN training)")
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
+    p.add_argument("--platform", type=str, default=None,
+                   choices=["cpu", "tpu"],
+                   help="force a jax backend (the JAX_PLATFORMS env var "
+                        "is ignored when a TPU plugin is installed; this "
+                        "sets jax_platforms in-process before first use)")
     return p
 
 
@@ -298,6 +313,15 @@ def mode_load(args):
         runner = EnvRunner(env, model, variables,
                            rng=jax.random.PRNGKey(args.seed), explore=False)
         runner.policy_eval_method = args.eval_method
+        if args.fixed_z_seed is not None:
+            # z-sweep probe: one prior sample, held for every step of
+            # every episode (distinct seeds -> distinct behaviors iff the
+            # latent is informative)
+            dim_z = model.cfg.task_encoder_output_dim
+            runner.fixed_z = jax.random.normal(
+                jax.random.PRNGKey(args.fixed_z_seed), (dim_z,))
+            print(f"fixed z from seed {args.fixed_z_seed}: "
+                  f"|z|={float(jnp.linalg.norm(runner.fixed_z)):.2f}")
         for ep in range(args.num_episodes):
             runner.reset()
             record = bool(args.output
@@ -379,6 +403,12 @@ def mode_gen_expert_demo(args):
 
 def main(argv=None):
     args = arg_parser().parse_args(argv)
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    from .parallel.distributed import init_distributed, process_info
+    if init_distributed(args.coordinator, args.num_processes,
+                        args.process_id):
+        print("multi-host:", process_info())
     if args.mode == "train":
         mode_train(args)
     elif args.mode == "load":

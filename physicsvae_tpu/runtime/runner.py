@@ -27,6 +27,12 @@ class EnvRunner:
         self.variables = variables
         self.explore = explore
         self.policy_eval_method = "full"
+        # When set (np/jnp vector of latent dim), pass_through holds this
+        # exact z instead of resampling each step — the z-sweep knob for
+        # demonstrating distinct latent-conditioned behaviors (the
+        # reference's EnvRunner resamples every step; a fixed z is the
+        # natural probe of what one latent encodes).
+        self.fixed_z = None
         self.rng = rng if rng is not None else jax.random.PRNGKey(0)
         self._step_full = jax.jit(self._full_step)
         self._step_pass = jax.jit(self._pass_through_step)
@@ -57,7 +63,7 @@ class EnvRunner:
         st2, obs2, rew, done, info = self.env.step(st, a)
         return st2, rew, done, aux["z_task"][0]
 
-    def _pass_through_step(self, st, rng, explore):
+    def _pass_through_step(self, st, rng, explore, z_fixed, use_fixed):
         """z ~ prior -> motor decoder only
         (envs/rllib_env_imitation.py:234-264)."""
         cfg = self.model.cfg
@@ -77,6 +83,7 @@ class EnvRunner:
             z = z / jnp.maximum(jnp.linalg.norm(z), 1e-8)
         else:
             raise NotImplementedError(prior)
+        z = jnp.where(use_fixed, z_fixed, z)
         logits = self.model.apply(
             self.variables, obs_body[None], z[None],
             method=PhysicsVAE.decode)
@@ -89,10 +96,18 @@ class EnvRunner:
     def one_step(self, explore: Optional[bool] = None):
         explore = self.explore if explore is None else explore
         self.rng, k = jax.random.split(self.rng)
-        fn = (self._step_full if self.policy_eval_method == "full"
-              else self._step_pass)
-        self.env_state, rew, done, z = fn(self.env_state, k,
-                                          jnp.asarray(explore))
+        if self.policy_eval_method == "full":
+            self.env_state, rew, done, z = self._step_full(
+                self.env_state, k, jnp.asarray(explore))
+        else:
+            dim_z = self.model.cfg.task_encoder_output_dim
+            if self.fixed_z is not None:
+                zf, use = jnp.asarray(self.fixed_z, jnp.float32), True
+            else:
+                zf, use = jnp.zeros((dim_z,), jnp.float32), False
+            self.env_state, rew, done, z = self._step_pass(
+                self.env_state, k, jnp.asarray(explore), zf,
+                jnp.asarray(use))
         return float(rew), bool(done), np.asarray(z)
 
     def toggle_eval_method(self):
