@@ -108,7 +108,8 @@ def _mat_const_vec(R, c):
                  for a in range(3))
 
 
-def _make_kernel(model, lean: bool = False, fuse_spd: bool = False):
+def _make_kernel(model, lean: bool = False, fuse_spd: bool = False,
+                 fuse_self: bool = False):
     """lean=True: held-inverse warm substeps never read the mass matrix, so
     S / I_sp / V (and the com/velocity FK fields) are dead OUTPUTS — Pallas
     writes cannot be DCE'd by XLA, so a separate kernel skips them (~80% of
@@ -146,6 +147,12 @@ def _make_kernel(model, lean: bool = False, fuse_spd: bool = False):
     for b in range(1, NB):
         children[int(parent[b])].append(b)
 
+    if fuse_self:
+        sc_pairs = np.asarray(model.self_pairs)
+        sc_a = np.asarray(model.cap_a)
+        sc_b = np.asarray(model.cap_b)
+        sc_r = np.asarray(model.cap_r, dtype=np.float64)
+
     if fuse_spd:
         kp_v = np.asarray(model.kp, dtype=np.float64)
         kd_v = np.asarray(model.kd, dtype=np.float64)
@@ -161,6 +168,9 @@ def _make_kernel(model, lean: bool = False, fuse_spd: bool = False):
             out_refs = refs[2:]
         else:
             out_refs = refs
+        sc_out = None
+        if fuse_self:
+            out_refs, sc_out = out_refs[:-1], out_refs[-1]
         if lean:
             q_out, p_out, c_out, x_out = out_refs
         else:
@@ -339,6 +349,68 @@ def _make_kernel(model, lean: bool = False, fuse_spd: bool = False):
             for i in range(3):
                 x_out[3 * pidx + i, :] = xp[i]
 
+        # ---------------- self-collision narrow phase ------------------
+        # Capsule-capsule closest points over the static pair list,
+        # VECTORIZED as (P, Bt) tensors (no per-pair unrolling): the
+        # world endpoints per body are row tuples already in registers;
+        # per-pair operands are stacks of those rows (the pair list is a
+        # compile-time constant, so "gathers" are free restacking).
+        # Same formulas as self_collision.self_pair_features /
+        # segment_closest_points; the XLA version materialized
+        # ~150 MB/substep of (B,263,3) intermediates in HBM (r4 trace).
+        if fuse_self:
+            P_ = sc_pairs.shape[0]
+            bi_l = sc_pairs[:, 0]
+            bj_l = sc_pairs[:, 1]
+            wa = [_add(body_p[b], _mat_const_vec(Rm[b], sc_a[b]))
+                  for b in range(NB)]
+            wb = [_add(body_p[b], _mat_const_vec(Rm[b], sc_b[b]))
+                  for b in range(NB)]
+
+            def pstack(ws, idx, i):
+                return jnp.stack([ws[int(bb)][i] for bb in idx])  # (P,Bt)
+
+            p1 = [pstack(wa, bi_l, i) for i in range(3)]
+            q1 = [pstack(wb, bi_l, i) for i in range(3)]
+            p2 = [pstack(wa, bj_l, i) for i in range(3)]
+            q2 = [pstack(wb, bj_l, i) for i in range(3)]
+            d1 = [q1[i] - p1[i] for i in range(3)]
+            d2 = [q2[i] - p2[i] for i in range(3)]
+            rv = [p1[i] - p2[i] for i in range(3)]
+
+            def dot3(u, v):
+                return u[0] * v[0] + u[1] * v[1] + u[2] * v[2]
+
+            a_ = dot3(d1, d1)
+            e_ = dot3(d2, d2)
+            f_ = dot3(d2, rv)
+            cc = dot3(d1, rv)
+            bq = dot3(d1, d2)
+            denom = a_ * e_ - bq * bq
+            s = jnp.where(denom > 1e-12,
+                          (bq * f_ - cc * e_) / jnp.maximum(denom, 1e-12),
+                          0.0)
+            s = jnp.clip(s, 0.0, 1.0)
+            t = jnp.where(e_ > 1e-12,
+                          (bq * s + f_) / jnp.maximum(e_, 1e-12), 0.0)
+            t = jnp.clip(t, 0.0, 1.0)
+            s = jnp.where(e_ > 1e-12,
+                          jnp.clip((bq * t - cc) / jnp.maximum(a_, 1e-12),
+                                   0.0, 1.0), s)
+            x1 = [p1[i] + s * d1[i] for i in range(3)]
+            x2 = [p2[i] + t * d2[i] for i in range(3)]
+            dv3 = [x1[i] - x2[i] for i in range(3)]
+            dist = jnp.sqrt(dot3(dv3, dv3))
+            safe = jnp.maximum(dist, 1e-8)
+            # rows: [dist(P); px;py;pz (P each); nx;ny;nz].  depth =
+            # (r_i + r_j) - dist is applied OUTSIDE (the per-pair radius
+            # sum is a non-scalar constant, which a Pallas kernel cannot
+            # capture; one (B,P) elementwise op in XLA is negligible).
+            sc_out[0:P_, :] = dist
+            for i in range(3):
+                sc_out[(1 + i) * P_:(2 + i) * P_, :] = 0.5 * (x1[i] + x2[i])
+                sc_out[(4 + i) * P_:(5 + i) * P_, :] = dv3[i] / safe
+
         # ---------------- writes ---------------------------------------
         for b in range(NB):
             for k in range(4):
@@ -428,13 +500,16 @@ _CACHE = {}
 
 
 def dynamics_fused_fm(model, root13, jq, om, vel, tq=None, tw=None,
-                      interpret=False, lean=False, fuse_spd=False):
+                      interpret=False, lean=False, fuse_spd=False,
+                      fuse_self=False):
     """Feature-major entry: root13 (13,B), jq (4J,B), om (3J,B), vel (NV,B);
     with fuse_spd also tq (4J,B), tw (3J,B).
 
     Returns (q, p, w, vo, com, vcom, S, I, V, c, x) feature-major, or
     (q, p, c, x) with lean=True; with fuse_spd the c slot holds
-    tau - damping*vel - c instead."""
+    tau - damping*vel - c instead.  With fuse_self an extra trailing
+    output (7P, B) carries the self-collision narrow phase:
+    [depth; pos xyz; normal xyz] per static pair."""
     NB = model.num_bodies
     J = model.num_joints
     NV = model.nv
@@ -447,9 +522,9 @@ def dynamics_fused_fm(model, root13, jq, om, vel, tq=None, tw=None,
         pad = lambda x: jnp.pad(x, ((0, 0), (0, Bp - B)))
         ins = [pad(v) for v in ins]
 
-    key = (id(model), lean, fuse_spd)
+    key = (id(model), lean, fuse_spd, fuse_self)
     if key not in _CACHE:
-        _CACHE[key] = _make_kernel(model, lean, fuse_spd)
+        _CACHE[key] = _make_kernel(model, lean, fuse_spd, fuse_self)
     kernel = _CACHE[key]
 
     def spec(rowsn):
@@ -461,6 +536,8 @@ def dynamics_fused_fm(model, root13, jq, om, vel, tq=None, tw=None,
     else:
         out_rows = [4 * NB, 3 * NB, 3 * NB, 3 * NB, 3 * NB, 3 * NB,
                     6 * NV, 36 * NB, 6 * NB, NV, 3 * NP_]
+    if fuse_self:
+        out_rows = out_rows + [7 * model.self_pairs.shape[0]]
     in_rows = [13, 4 * J, 3 * J, NV] + ([4 * J, 3 * J] if fuse_spd else [])
     outs = pl.pallas_call(
         kernel,
@@ -502,11 +579,35 @@ def _dof_tables(model, body_q, body_p):
     return dof_axis, dof_pos
 
 
+def _wants_self_fuse(model):
+    p = model.params
+    return (p.self_collision and getattr(p, "fuse_self_narrow", True)
+            and model.self_pairs.shape[0] > 0)
+
+
+def _sc_unpack(model, sc):
+    """(7P,B) kernel rows -> (pos (B,P,3), normal (B,P,3), depth (B,P)).
+
+    Row 0..P holds DIST; depth = (r_i + r_j) - dist is applied here (the
+    radius-sum constant cannot be captured inside the kernel)."""
+    pairs = np.asarray(model.self_pairs)
+    cap_r = np.asarray(model.cap_r)
+    rsum = jnp.asarray((cap_r[pairs[:, 0]] + cap_r[pairs[:, 1]]
+                        ).astype(np.float32))
+    P_ = pairs.shape[0]
+    m = sc.T.reshape(-1, 7, P_)
+    return (jnp.transpose(m[:, 1:4, :], (0, 2, 1)),
+            jnp.transpose(m[:, 4:7, :], (0, 2, 1)), rsum - m[:, 0, :])
+
+
 def dynamics_terms_fused(model, state, interpret=False):
-    """Drop-in for (fk, dynamics_terms, contact_point_positions):
+    """Drop-in for (fk, dynamics_terms, contact_point_positions
+    [+ self_pair_features]):
 
     returns (FKResult, S (B,NV,6), I_sp (B,NB,6,6), V (B,NB,6), c (B,NV),
-    x (B,NP,3)).  Batched states only."""
+    x (B,NP,3), sc) with sc = (pos, normal, depth) over the static
+    self-collision pair list, or None when self-fusion is off.  Batched
+    states only."""
     from ..physics.fk import FKResult
 
     assert state.root_p.ndim == 2, "fused dynamics expects a batched state"
@@ -515,8 +616,14 @@ def dynamics_terms_fused(model, state, interpret=False):
     NV = model.nv
     NP_ = model.point_body.shape[0]
 
-    (q, p, w, vo, com, vcom, S, I, V, c, x) = dynamics_fused_fm(
-        model, *_fm_inputs(model, state), interpret=interpret)
+    fuse_self = _wants_self_fuse(model)
+    outs = dynamics_fused_fm(
+        model, *_fm_inputs(model, state), interpret=interpret,
+        fuse_self=fuse_self)
+    sc = None
+    if fuse_self:
+        outs, sc = outs[:-1], _sc_unpack(model, outs[-1])
+    (q, p, w, vo, com, vcom, S, I, V, c, x) = outs
 
     body_q = q.T.reshape(B, NB, 4)
     body_p = p.T.reshape(B, NB, 3)
@@ -531,15 +638,17 @@ def dynamics_terms_fused(model, state, interpret=False):
         dof_axis=dof_axis, dof_pos=dof_pos)
     return (k, S.T.reshape(B, NV, 6), I.T.reshape(B, NB, 6, 6),
             V.T.reshape(B, NB, 6), c.T.reshape(B, NV),
-            x.T.reshape(B, NP_, 3))
+            x.T.reshape(B, NP_, 3), sc)
 
 
 def dynamics_terms_fused_lean(model, state, target_q=None, target_w=None,
                               interpret=False):
-    """Held-inverse warm-substep variant: returns (FKResult, c, x) with
-    only the fields the contact pipeline consumes (body_q/body_p for the
-    jacobians and narrow phases, dof tables); body_com/w/vcom/vo are None
-    and S/I_sp/V are never written (see _make_kernel lean docstring).
+    """Held-inverse warm-substep variant: returns (FKResult, c, x, sc)
+    with only the fields the contact pipeline consumes (body_q/body_p for
+    the jacobians and narrow phases, dof tables); body_com/w/vcom/vo are
+    None and S/I_sp/V are never written (see _make_kernel lean
+    docstring).  sc = (pos, normal, depth) self-collision pair features,
+    or None when self-fusion is off.
 
     With target_q/target_w ((B,J,4)/(B,J,3)), the stable-PD torque is
     fused in-kernel and the c slot returns tau - damping*vel - c."""
@@ -552,13 +661,18 @@ def dynamics_terms_fused_lean(model, state, target_q=None, target_w=None,
     NP_ = model.point_body.shape[0]
 
     fuse_spd = target_q is not None
+    fuse_self = _wants_self_fuse(model)
     extra = {}
     if fuse_spd:
         extra = dict(tq=target_q.reshape(B, 4 * J).T,
                      tw=target_w.reshape(B, 3 * J).T)
-    q, p, c, x = dynamics_fused_fm(
+    outs = dynamics_fused_fm(
         model, *_fm_inputs(model, state), interpret=interpret, lean=True,
-        fuse_spd=fuse_spd, **extra)
+        fuse_spd=fuse_spd, fuse_self=fuse_self, **extra)
+    sc = None
+    if fuse_self:
+        outs, sc = outs[:-1], _sc_unpack(model, outs[-1])
+    q, p, c, x = outs
 
     body_q = q.T.reshape(B, NB, 4)
     body_p = p.T.reshape(B, NB, 3)
@@ -568,4 +682,4 @@ def dynamics_terms_fused_lean(model, state, target_q=None, target_w=None,
         body_q=body_q, body_p=body_p,
         body_com=None, body_w=None, body_vcom=None, body_vo=None,
         dof_axis=dof_axis, dof_pos=dof_pos)
-    return k, c.T.reshape(B, model.nv), x.T.reshape(B, NP_, 3)
+    return k, c.T.reshape(B, model.nv), x.T.reshape(B, NP_, 3), sc

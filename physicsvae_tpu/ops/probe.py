@@ -118,13 +118,27 @@ def apply_kernel_probe(model):
     key = (model.num_joints, model.nv, int(model.point_body.shape[0]),
            p.actuation, p.use_fused_dynamics, p.fuse_warm_kernel,
            p.use_pallas_apgd, p.use_pallas_fk, p.apgd_iters,
-           p.apgd_warm_iters)
+           p.apgd_warm_iters, p.self_collision, p.fuse_self_narrow,
+           int(model.self_pairs.shape[0]))
     if key in _PROBE_CACHE:
         overrides = _PROBE_CACHE[key]
     else:
         results = probe_model_kernels(model)
         overrides = {}
         bad = {k: v for k, v in results.items() if v is not None}
+        dyn_bad = {"dyn_full", "dyn_lean", "dyn_lean_spd"} & set(bad)
+        if dyn_bad and p.self_collision and p.fuse_self_narrow \
+                and model.self_pairs.shape[0] > 0:
+            # retry the dynamics kernels without the in-kernel self-
+            # collision narrow phase before giving up on them entirely
+            import dataclasses as _dc
+            m2 = _dc.replace(model, params=_dc.replace(
+                p, fuse_self_narrow=False))
+            retry = probe_model_kernels(m2)
+            if all(retry.get(n) is None for n in dyn_bad):
+                overrides["fuse_self_narrow"] = False
+                for n in dyn_bad:
+                    del bad[n]
         if "dyn_full" in bad:
             overrides["use_fused_dynamics"] = False
             overrides["fuse_warm_kernel"] = False

@@ -98,6 +98,12 @@ class SimParams:
     # becomes tau - damping*vel - c).  False = always run the full kernel
     # (the ablation control for the r3b A/B).
     fuse_warm_kernel: bool = True
+    # Self-collision narrow phase inside the fused dynamics kernel: the
+    # 263-pair capsule-capsule chain runs on VMEM-resident (P, Bt) tiles
+    # instead of materializing ~150 MB/substep of (B,P,3) intermediates
+    # in HBM (r4 trace: ~23% of device time).  Selection (top-K2) stays
+    # in XLA.  False = XLA narrow phase (the ablation control).
+    fuse_self_narrow: bool = True
     # bf16 inputs (f32 accumulation) for the bandwidth-dominant matmuls:
     # Newton–Schulz refinement, Delassus build, APGD matvec, qdd solve.
     # Validated: humanoid standing trajectory within 0.4 mm of f32 over 1 s;

@@ -217,24 +217,25 @@ def scene_step(model: PhysicsModel, states: SimState, actions,
     dt = p.dt_sim
 
     def presolve_cold(st, act):
-        k, Mi, v_pred, _, _ = step_mod.substep_presolve(
+        k, Mi, v_pred, _, _, sc = step_mod.substep_presolve(
             model, st, act, None, ground_height)
-        return k, Mi.astype(jnp.float32), v_pred
+        return k, Mi.astype(jnp.float32), v_pred, sc
 
     def presolve_warm(st, act, Mi):
         # f32 refinement: scene momentum error scales with inverse-residual
         # x collision impulse, so scenes keep the inverse at ~1e-4 resid
         # (bf16's 4e-3 floor would show up as per-collision momentum drift)
-        k, Mi, v_pred, _, _ = step_mod.substep_presolve(
+        k, Mi, v_pred, _, _, sc = step_mod.substep_presolve(
             model, st, act, Mi, ground_height,
             refine_iters=2, refine_bf16=False)
-        return k, Mi, v_pred
+        return k, Mi, v_pred, sc
 
     def one_substep(sts, Minvs, lam_g, lam_p, pool):
         if Minvs is None:
-            k, Minv, v_pred = jax.vmap(presolve_cold)(sts, actions)
+            k, Minv, v_pred, sc = jax.vmap(presolve_cold)(sts, actions)
         else:
-            k, Minv, v_pred = jax.vmap(presolve_warm)(sts, actions, Minvs)
+            k, Minv, v_pred, sc = jax.vmap(presolve_warm)(sts, actions,
+                                                          Minvs)
 
         # shared obstacle pool vs every agent: per-agent impulse exchange,
         # pool reaction accumulated over agents
@@ -254,15 +255,17 @@ def scene_step(model: PhysicsModel, states: SimState, actions,
                                         ground_height=ground_height)
 
         # per-agent ground + self contacts on v_pred
-        def ground_one(k_a, Mi_a, v_a, lw):
+        def ground_one(k_a, Mi_a, v_a, lw, sc_a):
             return step_mod.solve_ground_self(model, k_a, Mi_a, v_a,
-                                              ground_height, lw)
+                                              ground_height, lw,
+                                              sc_feats=sc_a)
         if lam_g is None:
             dv_g, lam_g = jax.vmap(
-                lambda k_a, Mi_a, v_a: ground_one(k_a, Mi_a, v_a, None)
-            )(k, Minv, v_pred)
+                lambda k_a, Mi_a, v_a, sc_a: ground_one(k_a, Mi_a, v_a,
+                                                        None, sc_a)
+            )(k, Minv, v_pred, sc)
         else:
-            dv_g, lam_g = jax.vmap(ground_one)(k, Minv, v_pred, lam_g)
+            dv_g, lam_g = jax.vmap(ground_one)(k, Minv, v_pred, lam_g, sc)
 
         # inter-agent contacts: stack all pairs, one vmapped coupled solve
         k_i = jax.tree.map(lambda x: x[pi], k)

@@ -103,11 +103,12 @@ def segment_closest_points(p1, q1, p2, q2):
     return x1, x2
 
 
-def detect_self_contacts(model: PhysicsModel, k_fk):
-    """Deepest K2 self-collision candidates.
-
-    Returns (pos, normal, depth, body_i, body_j); depth > 0 = overlapping;
-    normal pushes body_i away from body_j."""
+def self_pair_features(model: PhysicsModel, k_fk):
+    """Narrow phase over the full static pair list: returns
+    (pos (...,P,3), normal (...,P,3), depth (...,P)).  Split from the
+    selection so the fused dynamics kernel (ops/dyn_kernel.py) can
+    produce these features in VMEM — the per-pair chain materialized
+    ~150 MB/substep of intermediates in XLA (r4 trace)."""
     pairs = jnp.asarray(model.self_pairs)
     cap_a = jnp.asarray(model.cap_a)
     cap_b = jnp.asarray(model.cap_b)
@@ -132,6 +133,14 @@ def detect_self_contacts(model: PhysicsModel, k_fk):
     depth = cap_r[bi] + cap_r[bj] - dist
     normal = d / jnp.maximum(dist[..., None], 1e-8)
     pos = 0.5 * (x1 + x2)
+    return pos, normal, depth
+
+
+def select_self_contacts(model: PhysicsModel, pos, normal, depth):
+    """Deepest K2 of the pair features (ranking-matmul top-K + coalesced
+    one-hot gathers).  Returns (pos, normal, depth, body_i, body_j)."""
+    bi = jnp.asarray(model.self_pairs)[:, 0]
+    bj = jnp.asarray(model.self_pairs)[:, 1]
 
     from .linalg import topk_rank_2stage
 
@@ -149,6 +158,15 @@ def detect_self_contacts(model: PhysicsModel, k_fk):
     bj_s = jnp.einsum("...kp,p->...k", oh,
                       bj.astype(jnp.float32)).astype(jnp.int32)
     return (sel[..., 0:3], sel[..., 3:6], dd, bi_s, bj_s)
+
+
+def detect_self_contacts(model: PhysicsModel, k_fk):
+    """Deepest K2 self-collision candidates (narrow phase + selection).
+
+    Returns (pos, normal, depth, body_i, body_j); depth > 0 = overlapping;
+    normal pushes body_i away from body_j."""
+    pos, normal, depth = self_pair_features(model, k_fk)
+    return select_self_contacts(model, pos, normal, depth)
 
 
 def pair_jacobian(model: PhysicsModel, k_fk, pos, body_i, body_j):

@@ -259,18 +259,26 @@ def _fused_dynamics(model: PhysicsModel, lean: bool = False):
     from .dynamics import dynamics_terms_split
     from .fk import _fk_xla
 
+    from ..ops.dyn_kernel import _wants_self_fuse
+
+    fuse_self = _wants_self_fuse(model)
+
     @custom_batching.custom_vmap
     def _f(root_p, root_q, joint_q, vel):
         state = SimState(root_p, root_q, joint_q, vel)
         k = _fk_xla(model, state)
         S, I_sp, V, c = dynamics_terms_split(model, state, k)
         x, _ = contact_point_positions(model, k)
+        sc = None
+        if fuse_self:
+            from .self_collision import self_pair_features
+            sc = self_pair_features(model, k)
         if lean:
             # same pytree structure as the kernel rule; XLA DCEs the rest
             k = _dc.replace(k, body_com=None, body_w=None,
                             body_vcom=None, body_vo=None)
-            return k, c, x
-        return k, S, I_sp, V, c, x
+            return k, c, x, sc
+        return k, S, I_sp, V, c, x, sc
 
     @_f.def_vmap
     def _rule(axis_size, in_batched, root_p, root_q, joint_q, vel):
@@ -300,6 +308,10 @@ def _fused_dynamics_spd(model: PhysicsModel):
     from .dynamics import dynamics_terms_split
     from .fk import _fk_xla
 
+    from ..ops.dyn_kernel import _wants_self_fuse
+
+    fuse_self = _wants_self_fuse(model)
+
     @custom_batching.custom_vmap
     def _f(root_p, root_q, joint_q, vel, target_q, target_w):
         state = SimState(root_p, root_q, joint_q, vel)
@@ -309,9 +321,13 @@ def _fused_dynamics_spd(model: PhysicsModel):
         tau = spd_torque(model, state,
                          Action(target_q=target_q, target_w=target_w),
                          model.params.dt_sim)
+        sc = None
+        if fuse_self:
+            from .self_collision import self_pair_features
+            sc = self_pair_features(model, k)
         k = _dc.replace(k, body_com=None, body_w=None,
                         body_vcom=None, body_vo=None)
-        return k, tau - c, x
+        return k, tau - c, x, sc
 
     @_f.def_vmap
     def _rule(axis_size, in_batched, root_p, root_q, joint_q, vel,
@@ -352,9 +368,10 @@ def substep_presolve(model: PhysicsModel, state: SimState, action: Action,
     # For stable-PD the torque is fused in-kernel too (tmc = tau - c).
     lean = Minv is not None and n_refine == 0 and p.fuse_warm_kernel
     tmc = None
+    sc_feats = None
     if p.use_fused_dynamics and kernels_on_tpu():
         if lean and p.actuation == "spd":
-            k, tmc, x_pts = _fused_dynamics_spd(model)(
+            k, tmc, x_pts, sc_feats = _fused_dynamics_spd(model)(
                 state.root_p, state.root_q, state.joint_q, state.vel,
                 action.target_q, action.target_w)
             if action.root_force is not None:
@@ -365,11 +382,11 @@ def substep_presolve(model: PhysicsModel, state: SimState, action: Action,
                 tmc = tmc + action.torque
             M = None
         elif lean:
-            k, c, x_pts = _fused_dynamics(model, lean=True)(
+            k, c, x_pts, sc_feats = _fused_dynamics(model, lean=True)(
                 state.root_p, state.root_q, state.joint_q, state.vel)
             M = None
         else:
-            k, S, I_sp, V, c, x_pts = _fused_dynamics(model)(
+            k, S, I_sp, V, c, x_pts, sc_feats = _fused_dynamics(model)(
                 state.root_p, state.root_q, state.joint_q, state.vel)
             from .dynamics import mass_matrix
             M = mass_matrix(model, S, I_sp)
@@ -419,12 +436,12 @@ def substep_presolve(model: PhysicsModel, state: SimState, action: Action,
 
     # NOTE: dynamic obstacles now couple through the unified contact solve
     # (solve_ground_self) rather than an ad-hoc impulse exchange here.
-    return k, Minv, v_pred, obstacles, x_pts
+    return k, Minv, v_pred, obstacles, x_pts, sc_feats
 
 
 def solve_ground_self(model: PhysicsModel, k, Minv, v_pred,
                       ground_height=0.0, lam_warm=None, obstacles=None,
-                      x_pts=None):
+                      x_pts=None, sc_feats=None):
     """Ground + self-collision (+ dynamic obstacle) contact assembly and
     ONE unified APGD solve on the predicted velocity.
 
@@ -447,9 +464,15 @@ def solve_ground_self(model: PhysicsModel, k, Minv, v_pred,
                                cons.depth.shape + (3,))
     mu = jnp.full(cons.depth.shape, p.mu)
     if p.self_collision and model.self_pairs.shape[0] > 0:
-        # capsule-capsule self contacts join the same impulse solve
-        from .self_collision import detect_self_contacts, pair_jacobian
-        sp, sn, sd, bi, bj = detect_self_contacts(model, k)
+        # capsule-capsule self contacts join the same impulse solve;
+        # the narrow phase comes from the fused dynamics kernel when
+        # available (sc_feats), with only the top-K2 selection in XLA
+        from .self_collision import (detect_self_contacts, pair_jacobian,
+                                     select_self_contacts)
+        if sc_feats is not None:
+            sp, sn, sd, bi, bj = select_self_contacts(model, *sc_feats)
+        else:
+            sp, sn, sd, bi, bj = detect_self_contacts(model, k)
         Js = pair_jacobian(model, k, sp, bi, bj)
         J = jnp.concatenate([J, Js], axis=-3)
         normals = jnp.concatenate([normals, sn], axis=-2)
@@ -528,21 +551,22 @@ def substep(model: PhysicsModel, state: SimState, action: Action,
     393-407).  lam_warm: previous substep's contact impulses (warm start).
     Returns (state, Minv, obstacles, lam).
     """
-    k, Minv, v_pred, obstacles, x_pts = substep_presolve(
+    k, Minv, v_pred, obstacles, x_pts, sc_feats = substep_presolve(
         model, state, action, Minv, ground_height, obstacles,
         refine_iters, refine_bf16)
     if obstacles is not None:
         from . import obstacles as obstacles_mod
         dv, lam, obstacles = solve_ground_self(
             model, k, Minv, v_pred, ground_height, lam_warm, obstacles,
-            x_pts=x_pts)
+            x_pts=x_pts, sc_feats=sc_feats)
         gvec = model.params.gravity * jnp.asarray(model.v_up_env)
         obstacles = obstacles_mod.update(obstacles, model.params.dt_sim,
                                          gvec, v_up=model.v_up_env,
                                          ground_height=ground_height)
     else:
         dv, lam = solve_ground_self(model, k, Minv, v_pred, ground_height,
-                                    lam_warm, x_pts=x_pts)
+                                    lam_warm, x_pts=x_pts,
+                                    sc_feats=sc_feats)
     new_state = integrate(model, state, v_pred + dv, model.params.dt_sim)
     return new_state, Minv, obstacles, lam
 

@@ -60,7 +60,8 @@ def test_fused_matches_xla(setup):
     x_ref = jax.vmap(
         lambda k: fk_mod.contact_point_positions(model, k)[0])(k_ref)
 
-    k, S, I, V, c, x = dynamics_terms_fused(model, sts, interpret=True)
+    k, S, I, V, c, x, sc = dynamics_terms_fused(model, sts,
+                                             interpret=True)
 
     np.testing.assert_allclose(np.asarray(k.body_q),
                                np.asarray(k_ref.body_q), atol=1e-5)
@@ -82,9 +83,9 @@ def test_lean_matches_xla(setup):
                                                dynamics_terms_fused_lean)
 
     model, sts = setup
-    k_f, _, _, _, c_f, x_f = dynamics_terms_fused(model, sts,
-                                                  interpret=True)
-    k, c, x = dynamics_terms_fused_lean(model, sts, interpret=True)
+    k_f, _, _, _, c_f, x_f, _ = dynamics_terms_fused(
+        model, sts, interpret=True)
+    k, c, x, _ = dynamics_terms_fused_lean(model, sts, interpret=True)
     assert k.body_com is None and k.body_w is None
     np.testing.assert_array_equal(np.asarray(k.body_q),
                                   np.asarray(k_f.body_q))

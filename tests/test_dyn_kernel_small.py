@@ -51,8 +51,9 @@ def test_full_and_lean_match_xla():
     x_r = jax.vmap(
         lambda k: fk_mod.contact_point_positions(model, k)[0])(k_ref)
 
-    k_f, S, I, V, c_f, x_f = dynamics_terms_fused(model, sts,
-                                                  interpret=True)
+    k_f, S, I, V, c_f, x_f, sc = dynamics_terms_fused(
+        model, sts, interpret=True)
+    assert sc is None  # pendulum: no self pairs
     np.testing.assert_allclose(np.asarray(k_f.body_q),
                                np.asarray(k_ref.body_q), atol=1e-5)
     np.testing.assert_allclose(np.asarray(S), np.asarray(S_r), atol=1e-4)
@@ -61,7 +62,7 @@ def test_full_and_lean_match_xla():
     np.testing.assert_allclose(np.asarray(c_f), np.asarray(c_r), atol=1e-3)
     np.testing.assert_allclose(np.asarray(x_f), np.asarray(x_r), atol=1e-5)
 
-    k, c, x = dynamics_terms_fused_lean(model, sts, interpret=True)
+    k, c, x, _ = dynamics_terms_fused_lean(model, sts, interpret=True)
     assert k.body_com is None and k.body_w is None and k.body_vcom is None
     np.testing.assert_array_equal(np.asarray(k.body_q),
                                   np.asarray(k_f.body_q))
@@ -103,8 +104,8 @@ def test_fused_spd_matches_xla():
     tau_ref = step_mod.spd_torque(model, sts, act, model.params.dt_sim)
     tmc_ref = tau_ref - c_ref
 
-    _, tmc, _ = dynamics_terms_fused_lean(model, sts, tq, tw,
-                                          interpret=True)
+    _, tmc, _, _ = dynamics_terms_fused_lean(model, sts, tq, tw,
+                                             interpret=True)
     np.testing.assert_allclose(np.asarray(tmc), np.asarray(tmc_ref),
                                atol=1e-4, rtol=1e-5)
 
@@ -153,3 +154,72 @@ def test_control_step_fused_spd_wiring(monkeypatch):
                                 lambda: False)
     assert np.isfinite(outs["fused"]).all()
     np.testing.assert_allclose(outs["fused"], outs["xla"], atol=1e-4)
+
+
+def _chain():
+    cm = load_urdf(os.path.join(ASSETS, "chain4.urdf"))
+    ci = load_char_info(os.path.join(ASSETS, "chain4_char_info.py"))
+    p = model_mod.SimParams(actuation="none", joint_damping=0.0,
+                            self_collision=True, num_self_contacts=2)
+    return model_mod.build_model(cm, ci, p)
+
+
+def test_self_narrow_phase_in_kernel():
+    """In-kernel capsule-capsule narrow phase (fuse_self_narrow) matches
+    self_collision.self_pair_features on a bent 4-link chain whose
+    non-adjacent capsules genuinely overlap."""
+    from physicsvae_tpu.ops.dyn_kernel import dynamics_terms_fused_lean
+    from physicsvae_tpu.physics.self_collision import self_pair_features
+
+    model = _chain()
+    assert model.self_pairs.shape[0] == 3, model.self_pairs
+
+    # fold the chain back on itself so seg3 overlaps the base capsule
+    rng = np.random.RandomState(0)
+    B = 3
+    half = 1.0 / np.sqrt(2.0)
+    bend = jnp.asarray([half, 0.0, 0.0, half])  # 90 deg about x
+    jq = jnp.broadcast_to(bend, (B, model.num_joints, 4))
+    st = state_mod.from_pose(
+        model,
+        jnp.asarray(rng.randn(B, 3).astype(np.float32) * 0.05
+                    + np.array([0, 1.5, 0], np.float32)),
+        jnp.broadcast_to(jnp.asarray([0.0, 0.0, 0.0, 1.0]), (B, 4)), jq)
+    st = state_mod.SimState(
+        st.root_p, st.root_q, st.joint_q,
+        jnp.asarray(rng.randn(B, model.nv).astype(np.float32) * 0.1))
+
+    k_ref = jax.vmap(lambda s: fk_mod._fk_xla(model, s))(st)
+    pos_r, nrm_r, dep_r = jax.vmap(
+        lambda k: self_pair_features(model, k))(k_ref)
+
+    k, c, x, sc = dynamics_terms_fused_lean(model, st, interpret=True)
+    assert sc is not None
+    pos, nrm, dep = sc
+    # the fold must actually produce at least one overlapping pair,
+    # otherwise the depth/normal comparison is vacuous
+    assert float(np.max(np.asarray(dep_r))) > 0.0
+    np.testing.assert_allclose(np.asarray(dep), np.asarray(dep_r),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(nrm), np.asarray(nrm_r),
+                               atol=1e-4)
+    # closest-POINT comparison only where it is unique: for (near-)
+    # parallel segments any point along the overlap is equally valid and
+    # the two implementations may branch differently on the denom
+    # threshold (dist/depth/normal still agree above).
+    pairs = np.asarray(model.self_pairs)
+    wa = np.asarray(k_ref.body_p) + _rot(np.asarray(k_ref.body_q),
+                                         np.asarray(model.cap_a))
+    wb = np.asarray(k_ref.body_p) + _rot(np.asarray(k_ref.body_q),
+                                         np.asarray(model.cap_b))
+    d1 = wb[:, pairs[:, 0]] - wa[:, pairs[:, 0]]
+    d2 = wb[:, pairs[:, 1]] - wa[:, pairs[:, 1]]
+    parallel = np.linalg.norm(np.cross(d1, d2), axis=-1) < 1e-3
+    dp = np.abs(np.asarray(pos) - np.asarray(pos_r)).max(axis=-1)
+    assert (dp[~parallel] < 1e-5).all(), dp
+
+
+def _rot(q, v):
+    """Rotate per-body local vectors v (NB,3) by body quats q (B,NB,4)."""
+    from physicsvae_tpu.maths import quaternion as quat
+    return np.asarray(quat.rotate(jnp.asarray(q), jnp.asarray(v)))
