@@ -183,7 +183,7 @@ def _intersect_geom(o, d, gtype, pos, quat, size):
     return t, n_w
 
 
-def _trace(scene: Scene, o, d, heightmap=None, v_up=1):
+def _trace(scene: Scene, o, d, heightmap=None, v_up=1, draw_ground=True):
     """Nearest hit over all primitives + the ground.  Returns
     (t, normal, albedo, is_ground)."""
     N = d.shape[0]
@@ -197,6 +197,9 @@ def _trace(scene: Scene, o, d, heightmap=None, v_up=1):
         best_t = np.where(closer, t, best_t)
         best_n = np.where(closer[:, None], n, best_n)
         best_c = np.where(closer[:, None], scene.color[g], best_c)
+
+    if not draw_ground:  # render flag 'ground' (render_module.py:20)
+        return best_t, best_n, best_c, np.zeros(N, bool)
 
     # Ground: flat plane at the up-axis origin, or a heightmap sampled at
     # the flat-plane hit (a good approximation for the gentle terrains the
@@ -223,7 +226,7 @@ def _trace(scene: Scene, o, d, heightmap=None, v_up=1):
 
 def render_frame(scene: Scene, cam_eye, cam_target, width=640, height=360,
                  fov_deg=50.0, heightmap=None, v_up=1, light=None,
-                 shadows=True):
+                 shadows=True, draw_ground=True, fog=True):
     """One RGB frame (H, W, 3) uint8."""
     eye = np.asarray(cam_eye, np.float32)
     tgt = np.asarray(cam_target, np.float32)
@@ -245,7 +248,8 @@ def render_frame(scene: Scene, cam_eye, cam_target, width=640, height=360,
          + ys[..., None] * upv[None, None]).reshape(-1, 3)
     d /= np.linalg.norm(d, axis=1, keepdims=True)
 
-    t, n, albedo, ground = _trace(scene, eye, d, heightmap, v_up)
+    t, n, albedo, ground = _trace(scene, eye, d, heightmap, v_up,
+                                  draw_ground=draw_ground)
     hitmask = t < _FAR
 
     if light is None:
@@ -280,10 +284,10 @@ def render_frame(scene: Scene, cam_eye, cam_target, width=640, height=360,
     sky = (1 - sky_t[:, None]) * np.array([0.85, 0.89, 0.94]) \
         + sky_t[:, None] * np.array([0.55, 0.68, 0.88])
     col = np.where(hitmask[:, None], col, sky.astype(np.float32))
-    # simple distance fog on the ground
-    fog = np.clip((t - 12.0) / 40.0, 0.0, 1.0) * hitmask
-    col = col * (1 - fog[:, None]) + fog[:, None] * np.array(
-        [0.8, 0.84, 0.9], np.float32)
+    if fog:  # simple distance fog (render flag 'fog')
+        fogw = np.clip((t - 12.0) / 40.0, 0.0, 1.0) * hitmask
+        col = col * (1 - fogw[:, None]) + fogw[:, None] * np.array(
+            [0.8, 0.84, 0.9], np.float32)
     img = np.clip(col.reshape(height, width, 3) * 255.0, 0, 255)
     return img.astype(np.uint8)
 
@@ -338,22 +342,47 @@ def _intersect_geom_multi(o, d, gtype, pos, quat, size):
 class FollowCamera:
     """Smoothed follow camera (reference cam smoothing,
     env_renderer.py:230-260): exp-lerp the target toward the character
-    root, eye at a fixed offset."""
+    root, eye at a fixed offset.  `mode` mirrors the reference's
+    follow_cam multi-state flag (render_module.py:19): 'fixed' pins the
+    camera at its first pose, 'pos' tracks position only, 'pos+rot'
+    additionally yaws the eye offset with the root heading."""
 
-    def __init__(self, offset=(2.4, 1.4, 2.8), smooth=0.25, v_up=1):
+    def __init__(self, offset=(2.4, 1.4, 2.8), smooth=0.25, v_up=1,
+                 mode="pos"):
         self.offset = np.asarray(offset, np.float32)
         self.smooth = smooth
         self.target = None
         self.v_up = v_up
+        self.mode = mode
 
-    def update(self, root_p):
+    def _yaw_offset(self, root_q):
+        """Rotate the eye offset about the up axis by the root heading."""
+        fwd = _quat_rotate(np.asarray(root_q, np.float32).reshape(4),
+                           np.array([1.0, 0.0, 0.0], np.float32))
+        fwd[self.v_up] = 0.0
+        n = np.linalg.norm(fwd)
+        if n < 1e-6:
+            return self.offset
+        fwd /= n
+        ax = (self.v_up + 1) % 3
+        az = (self.v_up + 2) % 3
+        c, s = fwd[ax], fwd[az]
+        off = self.offset.copy()
+        off[ax] = c * self.offset[ax] - s * self.offset[az]
+        off[az] = s * self.offset[ax] + c * self.offset[az]
+        return off
+
+    def update(self, root_p, root_q=None):
         root_p = np.asarray(root_p, np.float32).reshape(3)
         tgt = root_p.copy()
         if self.target is None:
             self.target = tgt
-        else:
+        elif self.mode != "fixed":
             self.target = (1 - self.smooth) * self.target + self.smooth * tgt
-        return self.target + self.offset, self.target
+        off = self.offset
+        if self.mode == "pos+rot" and root_q is not None:
+            off = self._yaw_offset(root_q)
+        return self.target + off, self.target
 
 
 def write_video(path, frames, fps=30):
@@ -382,30 +411,58 @@ def write_video(path, frames, fps=30):
     return path
 
 
+def _add_origin_axes(scene: Scene, v_up=1):
+    """World-origin axis markers (render flag 'origin'): three thin
+    axis-aligned boxes colored R/G/B for x/y/z."""
+    for axis, col in enumerate(np.eye(3, dtype=np.float32)):
+        he = np.full(3, 0.015, np.float32)
+        he[axis] = 0.4
+        p = np.zeros(3, np.float32)
+        p[axis] = 0.4
+        scene.types.append(GEOM_BOX)
+        scene.pos.append(p)
+        scene.quat.append(np.array([0.0, 0.0, 0.0, 1.0], np.float32))
+        scene.size.append(he)
+        scene.color.append(0.2 + 0.8 * col)
+
+
 def render_rollout(cm, body_q_seq, body_p_seq, output_path, fps=30,
                    width=640, height=360, heightmap=None, v_up=1,
-                   obstacles_seq=None, kin_seq=None):
+                   obstacles_seq=None, kin_seq=None, flags=None):
     """Render a trajectory of link poses to a video file.
 
     body_q_seq/body_p_seq: (T, NB, 4) / (T, NB, 3) world link poses (from
     TrackingEnv.get_render_data or an FK pass over recorded states);
     kin_seq: optional (q, p) sequences for the kinematic twin, drawn in a
     second color like the reference viewer's sim/kin overlay.
+    flags: optional render_flags.RenderFlags — honors all_scene, ground,
+    origin, shadow, sim_model, kin_model, obstacle, fog, follow_cam
+    (the reference's toggle registry, render_module.py:17-67).
     """
-    cam = FollowCamera(v_up=v_up)
+    f = (lambda k, d: flags.get(k) if flags is not None else d)
+    cam = FollowCamera(v_up=v_up, mode=f("follow_cam", "pos"))
     frames = []
     T = len(body_p_seq)
+    all_scene = f("all_scene", True)
     for i in range(T):
         scene = Scene()
-        scene.add_character(cm, np.asarray(body_q_seq[i]),
-                            np.asarray(body_p_seq[i]), _PALETTE[0])
-        if kin_seq is not None:
+        if all_scene and f("sim_model", True):
+            scene.add_character(cm, np.asarray(body_q_seq[i]),
+                                np.asarray(body_p_seq[i]), _PALETTE[0])
+        if all_scene and kin_seq is not None and \
+                f("kin_model", kin_seq is not None):
             scene.add_character(cm, np.asarray(kin_seq[0][i]),
                                 np.asarray(kin_seq[1][i]), _PALETTE[1])
-        if obstacles_seq is not None:
+        if all_scene and obstacles_seq is not None and f("obstacle", True):
             scene.add_obstacles(obstacles_seq[i])
+        if all_scene and f("origin", False):
+            _add_origin_axes(scene, v_up)
         scene.finalize()
-        eye, tgt = cam.update(body_p_seq[i][0])
-        frames.append(render_frame(scene, eye, tgt, width, height,
-                                   heightmap=heightmap, v_up=v_up))
+        eye, tgt = cam.update(body_p_seq[i][0],
+                              root_q=np.asarray(body_q_seq[i])[0])
+        frames.append(render_frame(
+            scene, eye, tgt, width, height, heightmap=heightmap, v_up=v_up,
+            shadows=f("shadow", True),
+            draw_ground=all_scene and f("ground", True),
+            fog=f("fog", True)))
     return write_video(output_path, frames, fps)

@@ -14,6 +14,10 @@ controls run as a line-oriented REPL (pipe commands in for scripting):
   s PATH    save the replay buffer (poses + rewards) to PATH (.npz)
   l PATH    load a replay buffer and make it current
   v PATH    render the current replay buffer to PATH (.mp4/.gif/.png)
+  t KEY     toggle a render flag by the reference key binding or name
+            (render_module.py:43-67 — e.g. 't 1' ground, 't 3' shadow,
+            't 0' cycles follow_cam fixed/pos/pos+rot, 't fog')
+  flags     list render flags and their current values
   i         print episode/runner status
   h         help
   x         exit
@@ -70,10 +74,12 @@ class Replay:
 
 class RuntimeREPL:
     def __init__(self, runner, env, record_all: bool = False):
+        from .render_flags import RenderFlags
         self.runner = runner
         self.env = env
         self.replay = Replay()
         self.steps = 0
+        self.flags = RenderFlags()
 
     def do_autoplay(self, n=30):
         rews = []
@@ -118,7 +124,8 @@ class RuntimeREPL:
         k = jax.jit(lambda s: fk_mod.fk(self.env.model, s))(sim)
         out = render_rollout(self.env.cm, np.asarray(k.body_q),
                              np.asarray(k.body_p), path,
-                             fps=int(self.env.cfg.fps_con))
+                             fps=int(self.env.cfg.fps_con),
+                             flags=self.flags)
         print("rendered:", out)
 
     def dispatch(self, line) -> bool:
@@ -148,6 +155,12 @@ class RuntimeREPL:
                 print(f"loaded {len(self.replay.frames)} frames")
             elif cmd == "v":
                 self.do_render(args[0])
+            elif cmd == "t":
+                name, val = self.flags.toggle(args[0])
+                print(f"{name}: {val}")
+            elif cmd == "flags":
+                for k, v in sorted(self.flags.items()):
+                    print(f"  {k} = {v}")
             elif cmd == "i":
                 print(f"steps={self.steps} "
                       f"method={self.runner.policy_eval_method} "

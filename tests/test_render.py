@@ -83,3 +83,58 @@ def test_render_character_from_urdf():
     # character pixels: blue-dominant region exists
     blues = (img[:, :, 2].astype(int) - img[:, :, 0].astype(int)) > 15
     assert blues.sum() > 10
+
+
+def test_render_flags_registry():
+    """Toggle registry parity with render_module.py:17-76."""
+    from physicsvae_tpu.runtime.render_flags import (RenderFlags,
+                                                     TOGGLE_KEYS,
+                                                     COLORS_FOR_AGENTS)
+    f = RenderFlags()
+    # reference defaults
+    assert f.get("ground") is True and f.get("origin") is False
+    assert f.get("follow_cam") == "fixed"
+    # bool toggle by key ('1' -> ground) and by name
+    name, val = f.toggle("1")
+    assert (name, val) == ("ground", False)
+    assert f.toggle("ground") == ("ground", True)
+    # multi-state cycling ('0' -> follow_cam fixed -> pos -> pos+rot -> fixed)
+    assert f.toggle("0") == ("follow_cam", "pos")
+    assert f.toggle("0") == ("follow_cam", "pos+rot")
+    assert f.toggle("0") == ("follow_cam", "fixed")
+    # every reference key binding resolves
+    for k, nm in TOGGLE_KEYS.items():
+        assert nm in f.flag
+    assert COLORS_FOR_AGENTS.shape == (17, 3)
+    import pytest as _pytest
+    with _pytest.raises(KeyError):
+        f.toggle("zzz")
+
+
+def test_render_flags_honored():
+    """ground/shadow/fog/sim_model flags change the rendered image."""
+    from physicsvae_tpu.runtime.render_flags import RenderFlags
+    sc = _scene_with([GEOM_SPHERE], [[0, 1, 0]], [[0.5, 0, 0]])
+    on = render_frame(sc, [0, 1.5, 4], [0, 0.8, 0], width=64, height=48)
+    off = render_frame(sc, [0, 1.5, 4], [0, 0.8, 0], width=64, height=48,
+                       draw_ground=False)
+    # without ground the bottom rows become sky (blue-dominant)
+    assert (off[47, 32, 2].astype(int) - off[47, 32, 0].astype(int)) > 10
+    assert not np.array_equal(on, off)
+
+
+def test_follow_camera_modes():
+    from physicsvae_tpu.runtime.render import FollowCamera
+    fixed = FollowCamera(mode="fixed", smooth=1.0)
+    e0, t0 = fixed.update([0.0, 1.0, 0.0])
+    e1, t1 = fixed.update([5.0, 1.0, 0.0])
+    assert np.allclose(t0, t1)  # pinned
+    rot = FollowCamera(mode="pos+rot", smooth=1.0)
+    q_id = np.array([0, 0, 0, 1.0])
+    # yaw 90 deg about +y (up): q = (0, sin45, 0, cos45)
+    q_90 = np.array([0.0, np.sin(np.pi / 4), 0.0, np.cos(np.pi / 4)])
+    eA, _ = rot.update([0.0, 1.0, 0.0], root_q=q_id)
+    rot2 = FollowCamera(mode="pos+rot", smooth=1.0)
+    eB, _ = rot2.update([0.0, 1.0, 0.0], root_q=q_90)
+    assert not np.allclose(eA, eB)  # offset follows heading
+    assert np.isclose(np.linalg.norm(eA), np.linalg.norm(eB), atol=1e-4)

@@ -81,6 +81,9 @@ def main():
         # r3b lean warm-substep kernel (lean outputs + in-kernel SPD);
         # full_warm_kernel is the A/B control (the pre-r3b default)
         ("full_warm_kernel", {"fuse_warm_kernel": False}, args.batch),
+        # r4 in-kernel self-collision narrow phase (default-on);
+        # xla_self_narrow is the A/B control (XLA narrow phase)
+        ("xla_self_narrow", {"fuse_self_narrow": False}, args.batch),
         ("pallas_apgd", {"use_pallas_apgd": True}, args.batch),
         ("pallas_fk", {"use_pallas_fk": True}, args.batch),
         ("fused_dyn", {"use_fused_dynamics": True}, args.batch),
