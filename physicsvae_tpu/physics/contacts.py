@@ -51,6 +51,14 @@ def detect_ground(model: PhysicsModel, x, ground=0.0):
 def select_contacts(model: PhysicsModel, x, depth, margin=0.0):
     """Top-K deepest candidates as a fixed-size contact set (stable ranking
     matmul — one fused comparison-reduce instead of K argmax sweeps)."""
+    cons, _ = select_contacts_oh(model, x, depth, margin)
+    return cons
+
+
+def select_contacts_oh(model: PhysicsModel, x, depth, margin=0.0):
+    """select_contacts that also returns the (...,K,NP) selection one-hot —
+    the held-contact cadence reuses it as a gather matrix to refresh the
+    held slots' penetration depths each warm substep."""
     from .linalg import topk_rank
 
     K = min(model.params.num_contacts, depth.shape[-1])
@@ -60,7 +68,7 @@ def select_contacts(model: PhysicsModel, x, depth, margin=0.0):
     body_f = jnp.asarray(model.point_body, jnp.float32)
     body = jnp.einsum("...kp,p->...k", oh, body_f).astype(jnp.int32)
     return Contacts(pos=pos, depth=d, active=active, body=body,
-                    point_idx=idx)
+                    point_idx=idx), oh
 
 
 def contact_jacobian(model: PhysicsModel, k_fk, contacts: Contacts):
@@ -110,7 +118,8 @@ def _apgd_xla(A, b, n, t1, t2, act, mu, inv_L, lam0, iters: int,
               warm: bool):
     """Reference APGD loop on one (unbatched) contact system — the
     fallback body of the custom_vmap dispatch below (the Pallas kernel
-    handles the batched case)."""
+    handles the batched case).  inv_L=None derives the per-contact
+    Gershgorin step bound from A (same formula as the Pallas kernel)."""
     K = act.shape[-1]
 
     def project(li):
@@ -124,6 +133,10 @@ def _apgd_xla(A, b, n, t1, t2, act, mu, inv_L, lam0, iters: int,
         return li * act[..., None]
 
     Af = A.reshape(A.shape[:-4] + (K * 3, K * 3))
+    if inv_L is None:
+        rowsum = jnp.sum(jnp.abs(Af), axis=-1)
+        L_k = jnp.max(rowsum.reshape(rowsum.shape[:-1] + (K, 3)), axis=-1)
+        inv_L = 1.0 / jnp.maximum(L_k, 1e-8)
 
     def mv(lam):
         return jnp.einsum(
@@ -160,8 +173,11 @@ def _apgd_dispatch(K: int, iters: int, warm: bool):
         from jax import custom_batching
 
         @custom_batching.custom_vmap
-        def _apgd(A, b, n, t1, t2, act, mu, inv_L, lam0):
-            return _apgd_xla(A, b, n, t1, t2, act, mu, inv_L, lam0,
+        def _apgd(A, b, n, t1, t2, act, mu, lam0):
+            # inv_L=None: the unbatched fallback derives its Gershgorin
+            # steps from A, exactly like the kernel does in VMEM — the
+            # caller never builds an XLA-side abs-sum pass over A.
+            return _apgd_xla(A, b, n, t1, t2, act, mu, None, lam0,
                              iters, warm)
 
         @_apgd.def_vmap
@@ -171,9 +187,7 @@ def _apgd_dispatch(K: int, iters: int, warm: bool):
             args = tuple(
                 a if bt else jnp.broadcast_to(a, (axis_size,) + a.shape)
                 for a, bt in zip(args, in_batched))
-            A, b, n, t1, t2, act, mu, inv_L, lam0 = args
-            del inv_L  # kernel derives Gershgorin steps in VMEM; the
-            # XLA-side abs-sum pass over A becomes dead code
+            A, b, n, t1, t2, act, mu, lam0 = args
             out = apgd_solve(A, b, n, t1, t2, act.astype(jnp.float32),
                              mu, lam0, iters, warm)
             return out, True
@@ -206,19 +220,53 @@ def solve_contacts(model: PhysicsModel, Minv, J, v_pred, contacts: Contacts,
     on RELATIVE velocity).
     Returns (delta_v (...,NV), impulses (...,K,3)).
     """
+    op = build_operator(model, Minv, J, v_pred.dtype, normals=normals,
+                        mu=mu, extra_inv_mass=extra_inv_mass)
+    return solve_with_operator(model, op, v_pred, contacts.depth,
+                               contacts.active, dt, lam_warm=lam_warm,
+                               vc_offset=vc_offset)
+
+
+class ContactOperator(NamedTuple):
+    """The loop-invariant half of the contact solve: Jacobian, Delassus
+    operator, cone bases, step bounds.
+
+    The held-contact cadence (SimParams.hold_contacts) builds this once on
+    the first substep of a control step and reuses it across the warm
+    substeps (the contact SET barely changes within 1/fps_con), so the
+    Delassus build (J M^-1 J^T — the single most bandwidth-hungry op in the
+    r4 device trace), the top-K ranking, and the Jacobian build all leave
+    the per-substep path; warm substeps only refresh depths (one-hot
+    gathers), b, and the APGD solve.  Same cadence trick as the held mass
+    inverse (ns_refine_every=0).  Bullet instead re-runs its narrow phase
+    + factorization every substep (envs/env_humanoid_tracking.py:393-399).
+    """
+    J: jnp.ndarray       # (...,K,3,NV)
+    W: jnp.ndarray       # (...,NV,3K)  M^-1 J^T
+    A: jnp.ndarray       # (...,K,3,K,3) Delassus (+ any free-body diagonal)
+    n: jnp.ndarray       # (...,K,3) contact normals
+    t1: jnp.ndarray      # (...,K,3) tangent basis
+    t2: jnp.ndarray      # (...,K,3)
+    mu: jnp.ndarray      # (...,K) friction coefficients
+    inv_L: jnp.ndarray   # (...,K,1) Gershgorin steps; None when the Pallas
+    #                      kernel derives them in VMEM
+
+
+def build_operator(model: PhysicsModel, Minv, J, dtype, normals=None,
+                   mu=None, extra_inv_mass=None):
+    """Delassus operator + cone geometry for a fixed contact set.  See
+    solve_contacts for argument semantics."""
     p = model.params
     K = J.shape[-3]
     nv = model.nv
-    batch = v_pred.shape[:-1]
-
-    f32 = v_pred.dtype
+    batch = J.shape[:-3]
     bf16 = p.matmul_bf16
 
     def mm(sub, a, b):
         if bf16:
             a = a.astype(jnp.bfloat16)
             b = b.astype(jnp.bfloat16)
-        return jnp.einsum(sub, a, b, preferred_element_type=f32)
+        return jnp.einsum(sub, a, b, preferred_element_type=dtype)
 
     Jf = J.reshape(batch + (K * 3, nv))
     W = mm("...ij,...kj->...ik", Minv, Jf)                    # (...,nv,3K)
@@ -230,28 +278,64 @@ def solve_contacts(model: PhysicsModel, Minv, J, v_pred, contacts: Contacts,
                       * jnp.eye(3)[None, :, None, :])          # (K,3,K,3)
         A = A + extra_inv_mass[..., :, None, None, None] * eye_blocks
 
-    up = jnp.asarray(model.v_up_env, dtype=v_pred.dtype)
+    up = jnp.asarray(model.v_up_env, dtype=dtype)
     if normals is None:
         n = jnp.broadcast_to(up, batch + (K, 3))
     else:
         n = normals
-    vc = jnp.einsum("...kin,...n->...ki", J, v_pred)          # (...,K,3)
+
+    # Per-contact tangent basis orthogonal to the normal.
+    ref = jnp.where(jnp.abs(n[..., 0:1]) < 0.9,
+                    jnp.asarray([1.0, 0.0, 0.0], dtype),
+                    jnp.asarray([0.0, 1.0, 0.0], dtype))
+    t2 = jnp.cross(n, ref)
+    t2 = t2 / jnp.maximum(jnp.linalg.norm(t2, axis=-1, keepdims=True), 1e-8)
+    t1 = jnp.cross(t2, n)
+
+    mu_k = jnp.broadcast_to(jnp.asarray(p.mu if mu is None else mu, dtype),
+                            batch + (K,))
+
+    # Per-contact Jacobi preconditioning (Chrono does the same): the step
+    # size for contact k is 1/L_k with L_k a Gershgorin bound over that
+    # contact's 3 rows, instead of one global 1/L.  Light feet no longer
+    # crawl at the step size dictated by the heaviest contact, which
+    # roughly halves the iterations needed for the same slip error.  The
+    # Pallas kernel derives these in VMEM from the A tile it already holds,
+    # so the XLA-side pass over A is only built for the XLA solver path.
+    from .step import kernels_on_tpu
+    if p.use_pallas_apgd and kernels_on_tpu():
+        inv_L = None
+    else:
+        Af = A.reshape(batch + (K * 3, K * 3))
+        rowsum = jnp.sum(jnp.abs(Af), axis=-1).reshape(batch + (K, 3))
+        L_k = jnp.max(rowsum, axis=-1)                      # (...,K)
+        inv_L = (1.0 / jnp.maximum(L_k, 1e-8))[..., None]   # (...,K,1)
+    return ContactOperator(J=J, W=W, A=A, n=n, t1=t1, t2=t2, mu=mu_k,
+                           inv_L=inv_L)
+
+
+def solve_with_operator(model: PhysicsModel, op: ContactOperator, v_pred,
+                        depth, active, dt, lam_warm=None, vc_offset=None):
+    """The state-dependent half of the contact solve: fresh contact-point
+    velocities and Baumgarte bias against the (possibly held) operator,
+    then the APGD cone QP.  Returns (delta_v (...,NV), impulses (...,K,3))."""
+    p = model.params
+    K = op.J.shape[-3]
+    batch = v_pred.shape[:-1]
+    f32 = v_pred.dtype
+    bf16 = p.matmul_bf16
+
+    n, t1, t2, mu = op.n, op.t1, op.t2, op.mu
+
+    vc = jnp.einsum("...kin,...n->...ki", op.J, v_pred)        # (...,K,3)
     if vc_offset is not None:
         vc = vc - vc_offset
 
     # Desired normal velocity: Baumgarte push-out, no restitution.
-    bias = -p.baumgarte / dt * jnp.maximum(contacts.depth - p.contact_slop, 0.0)
+    bias = -p.baumgarte / dt * jnp.maximum(depth - p.contact_slop, 0.0)
     b = vc + bias[..., None] * n                               # (...,K,3)
 
-    act = contacts.active.astype(v_pred.dtype)
-
-    # Per-contact tangent basis orthogonal to the normal.
-    ref = jnp.where(jnp.abs(n[..., 0:1]) < 0.9,
-                    jnp.asarray([1.0, 0.0, 0.0], v_pred.dtype),
-                    jnp.asarray([0.0, 1.0, 0.0], v_pred.dtype))
-    t2 = jnp.cross(n, ref)
-    t2 = t2 / jnp.maximum(jnp.linalg.norm(t2, axis=-1, keepdims=True), 1e-8)
-    t1 = jnp.cross(t2, n)
+    act = active.astype(f32)
 
     def project(li):
         ln = jnp.einsum("...ki,...ki->...k", li, n)
@@ -259,8 +343,7 @@ def solve_contacts(model: PhysicsModel, Minv, J, v_pred, contacts: Contacts,
         lt1 = jnp.einsum("...ki,...ki->...k", li, t1)
         lt2 = jnp.einsum("...ki,...ki->...k", li, t2)
         lt = jnp.sqrt(lt1 ** 2 + lt2 ** 2 + 1e-12)
-        mu_k = p.mu if mu is None else mu
-        scale = jnp.minimum(1.0, mu_k * ln / jnp.maximum(lt, 1e-9))
+        scale = jnp.minimum(1.0, mu * ln / jnp.maximum(lt, 1e-9))
         li = (ln[..., None] * n
               + (scale * lt1)[..., None] * t1
               + (scale * lt2)[..., None] * t2)
@@ -272,36 +355,8 @@ def solve_contacts(model: PhysicsModel, Minv, J, v_pred, contacts: Contacts,
     # substep — pathological on TPU; APGD is one batched matmul + projection
     # per iteration (tpu-first redesign of Bullet's sequential impulse
     # solver; same approach as Chrono's GPU solver).
-    #
-    # Per-contact Jacobi preconditioning (Chrono does the same): the step
-    # size for contact k is 1/L_k with L_k a Gershgorin bound over that
-    # contact's 3 rows, instead of one global 1/L.  Light feet no longer
-    # crawl at the step size dictated by the heaviest contact, which
-    # roughly halves the iterations needed for the same slip error.
-    Af = A.reshape(batch + (K * 3, K * 3))
-    rowsum = jnp.sum(jnp.abs(Af), axis=-1).reshape(batch + (K, 3))
-    L_k = jnp.max(rowsum, axis=-1)                      # (...,K)
-    inv_L = (1.0 / jnp.maximum(L_k, 1e-8))[..., None]   # (...,K,1)
-    Af_mv = Af.astype(jnp.bfloat16) if bf16 else Af
-
-    def mv(lam):
-        lam = lam.reshape(batch + (K * 3,))
-        if bf16:
-            lam = lam.astype(jnp.bfloat16)
-        return jnp.einsum("...ij,...j->...i", Af_mv, lam,
-                          preferred_element_type=f32
-                          ).reshape(batch + (K, 3))
-
-    def apgd_iter(carry, _):
-        lam, y, t = carry
-        g = b + mv(y)
-        lam_new = project(y - inv_L * g)
-        t_new = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * t * t))
-        y_new = lam_new + ((t - 1.0) / t_new) * (lam_new - lam)
-        return (lam_new, y_new, t_new), None
-
     if lam_warm is None:
-        lam0 = jnp.zeros(batch + (K, 3), dtype=v_pred.dtype)
+        lam0 = jnp.zeros(batch + (K, 3), dtype=f32)
         iters = p.apgd_iters
         warm = False
     else:
@@ -311,20 +366,48 @@ def solve_contacts(model: PhysicsModel, Minv, J, v_pred, contacts: Contacts,
 
     from .step import kernels_on_tpu
     if p.use_pallas_apgd and kernels_on_tpu():
-        mu_k = jnp.broadcast_to(jnp.asarray(p.mu if mu is None else mu,
-                                            v_pred.dtype),
-                                contacts.depth.shape)
         lam = _apgd_dispatch(K, iters, warm)(
-            A, b, n, t1, t2, act, mu_k, inv_L[..., 0], lam0)
+            op.A, b, n, t1, t2, act, mu, lam0)
     else:
+        Af = op.A.reshape(batch + (K * 3, K * 3))
+        Af_mv = Af.astype(jnp.bfloat16) if bf16 else Af
+        inv_L = op.inv_L
+        if inv_L is None:   # operator built under a different backend pick
+            rowsum = jnp.sum(jnp.abs(Af), axis=-1).reshape(batch + (K, 3))
+            inv_L = (1.0 / jnp.maximum(jnp.max(rowsum, axis=-1),
+                                       1e-8))[..., None]
+
+        def mv(lam):
+            lam = lam.reshape(batch + (K * 3,))
+            if bf16:
+                lam = lam.astype(jnp.bfloat16)
+            return jnp.einsum("...ij,...j->...i", Af_mv, lam,
+                              preferred_element_type=f32
+                              ).reshape(batch + (K, 3))
+
+        def apgd_iter(carry, _):
+            lam, y, t = carry
+            g = b + mv(y)
+            lam_new = project(y - inv_L * g)
+            t_new = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * t * t))
+            y_new = lam_new + ((t - 1.0) / t_new) * (lam_new - lam)
+            return (lam_new, y_new, t_new), None
+
         if warm:
             # project the carried impulse (the active set / cone may have
             # changed since last substep)
             lam0 = project(lam0)
         (lam, _, _), _ = jax.lax.scan(
-            apgd_iter, (lam0, lam0, jnp.asarray(1.0, v_pred.dtype)), None,
+            apgd_iter, (lam0, lam0, jnp.asarray(1.0, f32)), None,
             length=iters)
 
     # delta_v = M^-1 J^T lam = W lam
-    delta_v = mm("...nk,...k->...n", W, lam.reshape(batch + (K * 3,)))
+    lam_f = lam.reshape(batch + (K * 3,))
+    if bf16:
+        delta_v = jnp.einsum("...nk,...k->...n",
+                             op.W.astype(jnp.bfloat16),
+                             lam_f.astype(jnp.bfloat16),
+                             preferred_element_type=f32)
+    else:
+        delta_v = jnp.einsum("...nk,...k->...n", op.W, lam_f)
     return delta_v, lam

@@ -104,6 +104,23 @@ class SimParams:
     # in HBM (r4 trace: ~23% of device time).  Selection (top-K2) stays
     # in XLA.  False = XLA narrow phase (the ablation control).
     fuse_self_narrow: bool = True
+    # Hold the CONTACT OPERATOR (top-K selection, Jacobian, Delassus
+    # J M^-1 J^T, cone bases) across the warm substeps of a control step,
+    # the same cadence trick as the held inverse: the contact set barely
+    # changes within 1/fps_con, warm substeps refresh only penetration
+    # depths (one-hot gathers over the fresh candidate positions the fused
+    # kernel already outputs) and the APGD solve.  Kills the per-substep
+    # Delassus build — the single most bandwidth-hungry op in the r4
+    # device trace — plus the top-K ranking and Jacobian build.  Applies
+    # only under the held-inverse preconditions (spd + ns_refine_every=0)
+    # and without dynamic obstacles (step._hold_contacts_ok).
+    hold_contacts: bool = False
+    # Operator rebuild cadence in substeps: a full hold across all 16
+    # substeps (cadence 16) exceeds the intrinsic chaos rate on the
+    # contact-rich gate (tools/compare_hold_contacts.py: 11.8x), so the
+    # operator is re-assembled every k-th substep and held between.  Must
+    # divide num_substeps.
+    hold_contacts_every: int = 4
     # bf16 inputs (f32 accumulation) for the bandwidth-dominant matmuls:
     # Newton–Schulz refinement, Delassus build, APGD matvec, qdd solve.
     # Validated: humanoid standing trajectory within 0.4 mm of f32 over 1 s;

@@ -139,6 +139,15 @@ def self_pair_features(model: PhysicsModel, k_fk):
 def select_self_contacts(model: PhysicsModel, pos, normal, depth):
     """Deepest K2 of the pair features (ranking-matmul top-K + coalesced
     one-hot gathers).  Returns (pos, normal, depth, body_i, body_j)."""
+    sel, _ = select_self_contacts_oh(model, pos, normal, depth)
+    return sel
+
+
+def select_self_contacts_oh(model: PhysicsModel, pos, normal, depth):
+    """select_self_contacts that also returns the (...,K2,P) selection
+    one-hot — the held-contact cadence reuses it to refresh the held pairs'
+    depths from the fused kernel's per-pair narrow phase each warm
+    substep."""
     bi = jnp.asarray(model.self_pairs)[:, 0]
     bj = jnp.asarray(model.self_pairs)[:, 1]
 
@@ -157,7 +166,7 @@ def select_self_contacts(model: PhysicsModel, pos, normal, depth):
                       bi.astype(jnp.float32)).astype(jnp.int32)
     bj_s = jnp.einsum("...kp,p->...k", oh,
                       bj.astype(jnp.float32)).astype(jnp.int32)
-    return (sel[..., 0:3], sel[..., 3:6], dd, bi_s, bj_s)
+    return (sel[..., 0:3], sel[..., 3:6], dd, bi_s, bj_s), oh
 
 
 def detect_self_contacts(model: PhysicsModel, k_fk):

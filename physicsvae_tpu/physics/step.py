@@ -439,6 +439,136 @@ def substep_presolve(model: PhysicsModel, state: SimState, action: Action,
     return k, Minv, v_pred, obstacles, x_pts, sc_feats
 
 
+def _assemble_char_contacts(model: PhysicsModel, k, ground_height=0.0,
+                            x_pts=None, sc_feats=None):
+    """Ground + self-collision contact assembly: detection, top-K selection,
+    Jacobian build.  Returns (J, cons, normals, mu, (oh_ground, oh_self))
+    where the one-hots are the selection gather matrices the held-contact
+    cadence reuses to refresh depths (oh_self is None without
+    self-collision)."""
+    p = model.params
+    x = x_pts if x_pts is not None else \
+        contact_point_positions(model, k)[0]
+    depth = contacts_mod.detect_ground(model, x, ground_height)
+    cons, oh_g = contacts_mod.select_contacts_oh(model, x, depth)
+    J = contacts_mod.contact_jacobian(model, k, cons)
+    normals = jnp.broadcast_to(jnp.asarray(model.v_up_env, J.dtype),
+                               cons.depth.shape + (3,))
+    mu = jnp.full(cons.depth.shape, p.mu)
+    oh_s = None
+    if p.self_collision and model.self_pairs.shape[0] > 0:
+        # capsule-capsule self contacts join the same impulse solve;
+        # the narrow phase comes from the fused dynamics kernel when
+        # available (sc_feats), with only the top-K2 selection in XLA
+        from .self_collision import (pair_jacobian, self_pair_features,
+                                     select_self_contacts_oh)
+        if sc_feats is None:
+            sc_feats = self_pair_features(model, k)
+        (sp, sn, sd, bi, bj), oh_s = select_self_contacts_oh(
+            model, *sc_feats)
+        Js = pair_jacobian(model, k, sp, bi, bj)
+        J = jnp.concatenate([J, Js], axis=-3)
+        normals = jnp.concatenate([normals, sn], axis=-2)
+        cons = contacts_mod.Contacts(
+            pos=jnp.concatenate([cons.pos, sp], axis=-2),
+            depth=jnp.concatenate([cons.depth, sd], axis=-1),
+            active=jnp.concatenate([cons.active, sd > 0.0], axis=-1),
+            body=jnp.concatenate([cons.body, bi], axis=-1),
+            point_idx=jnp.concatenate(
+                [cons.point_idx, -jnp.ones_like(bi)], axis=-1),
+        )
+        # Bullet combines friction multiplicatively: char-char = mu^2
+        mu = jnp.concatenate(
+            [mu, jnp.full(sd.shape, p.mu * p.mu)], axis=-1)
+    return J, cons, normals, mu, (oh_g, oh_s)
+
+
+def _hold_contacts_ok(model: PhysicsModel, obstacles) -> bool:
+    """The held-contact cadence shares the held-inverse preconditions
+    (stable-PD, ns_refine_every=0) and additionally requires no dynamic
+    obstacles: thrown boxes cross a contact margin in a few substeps, so
+    their rows must be re-detected every substep (the fallback path).
+    The rebuild cadence must tile the substep count exactly."""
+    p = model.params
+    return (p.hold_contacts and obstacles is None
+            and p.hold_contacts_every >= 1
+            and p.num_substeps % p.hold_contacts_every == 0
+            and _hold_inverse_ok(model))
+
+
+class HeldContacts(NamedTuple):
+    """Loop-invariant contact solve state for the warm substeps of one
+    control step: the operator (Jacobian/Delassus/cone) plus the selection
+    one-hots used to refresh the held slots' depths."""
+    op: contacts_mod.ContactOperator
+    oh_ground: jnp.ndarray           # (...,K,NP)
+    oh_self: Optional[jnp.ndarray]   # (...,K2,P) or None
+
+
+def _substep_held_first(model: PhysicsModel, state: SimState, action: Action,
+                        Minv, ground_height=0.0, refine_iters=None,
+                        refine_bf16=None, lam_warm=None):
+    """Operator-rebuild substep of a held-contact control step: full
+    detection + selection + operator build; returns the HeldContacts the
+    following warm substeps reuse.  (state', Minv, lam, held)."""
+    dt = model.params.dt_sim
+    k, Minv, v_pred, _, x_pts, sc_feats = substep_presolve(
+        model, state, action, Minv, ground_height, None,
+        refine_iters, refine_bf16)
+    J, cons, normals, mu, (oh_g, oh_s) = _assemble_char_contacts(
+        model, k, ground_height, x_pts, sc_feats)
+    op = contacts_mod.build_operator(model, Minv, J, v_pred.dtype,
+                                     normals=normals, mu=mu)
+    dv, lam = contacts_mod.solve_with_operator(
+        model, op, v_pred, cons.depth, cons.active, dt, lam_warm=lam_warm)
+    new_state = integrate(model, state, v_pred + dv, dt)
+    return new_state, Minv, lam, HeldContacts(op, oh_g, oh_s)
+
+
+def _held_warm_scan(model: PhysicsModel, state: SimState, action: Action,
+                    Minv, held: HeldContacts, lam, ground_height, length):
+    """Scan `length` warm substeps against a held contact operator."""
+    if length <= 0:
+        return state, lam
+
+    def body(carry, _):
+        st, lm = carry
+        st, lm = _substep_held_warm(model, st, action, Minv, held, lm,
+                                    ground_height)
+        return (st, lm), None
+
+    (state, lam), _ = jax.lax.scan(body, (state, lam), None, length=length)
+    return state, lam
+
+
+def _substep_held_warm(model: PhysicsModel, state: SimState, action: Action,
+                       Minv, held: HeldContacts, lam_warm,
+                       ground_height=0.0):
+    """Warm substep against a held contact operator: fresh candidate
+    positions (the fused kernel produces them anyway) refresh only the held
+    slots' penetration depths via the selection one-hots; J, the Delassus
+    operator, and the cone bases stay 1/fps_con-stale at most (the same
+    staleness contract as the held mass inverse).  (state', lam)."""
+    dt = model.params.dt_sim
+    k, _, v_pred, _, x_pts, sc_feats = substep_presolve(
+        model, state, action, Minv, ground_height, None, refine_iters=0)
+    x = x_pts if x_pts is not None else \
+        contact_point_positions(model, k)[0]
+    depth_all = contacts_mod.detect_ground(model, x, ground_height)
+    d = jnp.einsum("...kp,...p->...k", held.oh_ground, depth_all)
+    if held.oh_self is not None:
+        if sc_feats is None:
+            from .self_collision import self_pair_features
+            sc_feats = self_pair_features(model, k)
+        d_self = jnp.einsum("...kp,...p->...k", held.oh_self, sc_feats[2])
+        d = jnp.concatenate([d, d_self], axis=-1)
+    active = d > 0.0
+    dv, lam = contacts_mod.solve_with_operator(
+        model, held.op, v_pred, d, active, dt, lam_warm=lam_warm)
+    new_state = integrate(model, state, v_pred + dv, dt)
+    return new_state, lam
+
+
 def solve_ground_self(model: PhysicsModel, k, Minv, v_pred,
                       ground_height=0.0, lam_warm=None, obstacles=None,
                       x_pts=None, sc_feats=None):
@@ -457,36 +587,8 @@ def solve_ground_self(model: PhysicsModel, k, Minv, v_pred,
 
     x = x_pts if x_pts is not None else \
         contact_point_positions(model, k)[0]
-    depth = contacts_mod.detect_ground(model, x, ground_height)
-    cons = contacts_mod.select_contacts(model, x, depth)
-    J = contacts_mod.contact_jacobian(model, k, cons)
-    normals = jnp.broadcast_to(jnp.asarray(model.v_up_env, J.dtype),
-                               cons.depth.shape + (3,))
-    mu = jnp.full(cons.depth.shape, p.mu)
-    if p.self_collision and model.self_pairs.shape[0] > 0:
-        # capsule-capsule self contacts join the same impulse solve;
-        # the narrow phase comes from the fused dynamics kernel when
-        # available (sc_feats), with only the top-K2 selection in XLA
-        from .self_collision import (detect_self_contacts, pair_jacobian,
-                                     select_self_contacts)
-        if sc_feats is not None:
-            sp, sn, sd, bi, bj = select_self_contacts(model, *sc_feats)
-        else:
-            sp, sn, sd, bi, bj = detect_self_contacts(model, k)
-        Js = pair_jacobian(model, k, sp, bi, bj)
-        J = jnp.concatenate([J, Js], axis=-3)
-        normals = jnp.concatenate([normals, sn], axis=-2)
-        cons = contacts_mod.Contacts(
-            pos=jnp.concatenate([cons.pos, sp], axis=-2),
-            depth=jnp.concatenate([cons.depth, sd], axis=-1),
-            active=jnp.concatenate([cons.active, sd > 0.0], axis=-1),
-            body=jnp.concatenate([cons.body, bi], axis=-1),
-            point_idx=jnp.concatenate(
-                [cons.point_idx, -jnp.ones_like(bi)], axis=-1),
-        )
-        # Bullet combines friction multiplicatively: char-char = mu^2
-        mu = jnp.concatenate(
-            [mu, jnp.full(sd.shape, p.mu * p.mu)], axis=-1)
+    J, cons, normals, mu, _ = _assemble_char_contacts(
+        model, k, ground_height, x, sc_feats)
 
     extra_inv_mass = vc_offset = None
     n_char_rows = cons.depth.shape[-1]
@@ -581,6 +683,30 @@ def control_step(model: PhysicsModel, state: SimState, action: Action,
     Returns the new SimState, or (SimState, ObstacleState) when an obstacle
     pool is passed.
     """
+    if _hold_contacts_ok(model, obstacles):
+        every = model.params.hold_contacts_every
+        n_blocks = model.params.num_substeps // every
+        state, Minv, lam, held = _substep_held_first(
+            model, state, action, None, ground_height)
+        Minv_held = Minv.astype(jnp.bfloat16) \
+            if _bf16_inverse_ok(model) else Minv
+        state, lam = _held_warm_scan(model, state, action, Minv_held,
+                                     held, lam, ground_height, every - 1)
+
+        def block(carry, _):
+            st, lm = carry
+            st, _, lm, held_b = _substep_held_first(
+                model, st, action, Minv_held, ground_height,
+                refine_iters=0, lam_warm=lm)
+            st, lm = _held_warm_scan(model, st, action, Minv_held,
+                                     held_b, lm, ground_height, every - 1)
+            return (st, lm), None
+
+        if n_blocks > 1:
+            (state, _), _ = jax.lax.scan(block, (state, lam), None,
+                                         length=n_blocks - 1)
+        return state
+
     state, Minv, obstacles2, lam = substep(model, state, action, None,
                                            ground_height, obstacles)
 
@@ -639,6 +765,31 @@ def control_step_carry(model: PhysicsModel, state: SimState, action: Action,
     seed (plain tracking, fidelity fixtures, non-spd modes) should use
     control_step, which cold-starts.
     """
+    if _hold_contacts_ok(model, obstacles):
+        every = model.params.hold_contacts_every
+        n_blocks = model.params.num_substeps // every
+        state, Minv, lam, held = _substep_held_first(
+            model, state, action, Minv0.astype(jnp.float32), ground_height,
+            refine_iters=seed_refine_iters, refine_bf16=False)
+        Minv = Minv.astype(jnp.bfloat16) \
+            if _bf16_inverse_ok(model) else Minv
+        state, lam = _held_warm_scan(model, state, action, Minv,
+                                     held, lam, ground_height, every - 1)
+
+        def block(carry, _):
+            st, lm = carry
+            st, _, lm, held_b = _substep_held_first(
+                model, st, action, Minv, ground_height,
+                refine_iters=0, lam_warm=lm)
+            st, lm = _held_warm_scan(model, st, action, Minv,
+                                     held_b, lm, ground_height, every - 1)
+            return (st, lm), None
+
+        if n_blocks > 1:
+            (state, _), _ = jax.lax.scan(block, (state, lam), None,
+                                         length=n_blocks - 1)
+        return state, Minv, None
+
     state, Minv, obstacles2, lam = substep(
         model, state, action, Minv0.astype(jnp.float32), ground_height,
         obstacles, refine_iters=seed_refine_iters, refine_bf16=False)

@@ -84,6 +84,14 @@ def main():
         # r4 in-kernel self-collision narrow phase (default-on);
         # xla_self_narrow is the A/B control (XLA narrow phase)
         ("xla_self_narrow", {"fuse_self_narrow": False}, args.batch),
+        # r4 held contact operator (rebuild cadence in substeps); A/B vs
+        # baseline, chaos gate: tools/compare_hold_contacts.py
+        ("hold_e2", {"hold_contacts": True, "hold_contacts_every": 2},
+         args.batch),
+        ("hold_e4", {"hold_contacts": True, "hold_contacts_every": 4},
+         args.batch),
+        ("hold_e8", {"hold_contacts": True, "hold_contacts_every": 8},
+         args.batch),
         ("pallas_apgd", {"use_pallas_apgd": True}, args.batch),
         ("pallas_fk", {"use_pallas_fk": True}, args.batch),
         ("fused_dyn", {"use_fused_dynamics": True}, args.batch),
