@@ -96,6 +96,20 @@ def probe_model_kernels(model, B=8, K=32):
         attempt("fk", lambda: lower_for_tpu(
             lambda s: fk_pallas(model, s), st))
 
+    if p.use_mf_apgd:
+        from .apgd_mf_kernel import apgd_mf_solve
+        nv = model.nv
+        Kc = p.num_contacts + (p.num_self_contacts if p.self_collision
+                               and model.self_pairs.shape[0] > 0 else 0)
+        Mi = jnp.zeros((B, nv, nv))
+        Jm = jnp.zeros((B, Kc, 3, nv))
+        vp = jnp.zeros((B, nv))
+        v3 = jnp.zeros((B, Kc, 3))
+        sc = jnp.zeros((B, Kc))
+        attempt("apgd_mf", lambda: lower_for_tpu(
+            lambda *a: apgd_mf_solve(*a, p.apgd_warm_iters),
+            Mi, Jm, vp, sc, v3, v3, v3, sc, sc, sc, v3))
+
     return results
 
 
@@ -111,15 +125,16 @@ def apply_kernel_probe(model):
     import dataclasses
 
     p = model.params
-    flags_on = p.use_fused_dynamics or p.use_pallas_apgd or p.use_pallas_fk
+    flags_on = (p.use_fused_dynamics or p.use_pallas_apgd
+                or p.use_pallas_fk or p.use_mf_apgd)
     if not flags_on or jax.default_backend() != "tpu":
         return model
 
     key = (model.num_joints, model.nv, int(model.point_body.shape[0]),
            p.actuation, p.use_fused_dynamics, p.fuse_warm_kernel,
-           p.use_pallas_apgd, p.use_pallas_fk, p.apgd_iters,
-           p.apgd_warm_iters, p.self_collision, p.fuse_self_narrow,
-           int(model.self_pairs.shape[0]))
+           p.use_pallas_apgd, p.use_pallas_fk, p.use_mf_apgd,
+           p.apgd_iters, p.apgd_warm_iters, p.self_collision,
+           p.fuse_self_narrow, int(model.self_pairs.shape[0]))
     if key in _PROBE_CACHE:
         overrides = _PROBE_CACHE[key]
     else:
@@ -146,6 +161,8 @@ def apply_kernel_probe(model):
             overrides["fuse_warm_kernel"] = False
         if "apgd_cold" in bad or "apgd_warm" in bad:
             overrides["use_pallas_apgd"] = False
+        if "apgd_mf" in bad:
+            overrides["use_mf_apgd"] = False
         if "fk" in bad:
             overrides["use_pallas_fk"] = False
         for name, err in bad.items():

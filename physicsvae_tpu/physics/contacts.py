@@ -252,6 +252,29 @@ class ContactOperator(NamedTuple):
     #                      kernel derives them in VMEM
 
 
+def cone_basis(n, dtype):
+    """Per-contact tangent basis orthogonal to the normal."""
+    ref = jnp.where(jnp.abs(n[..., 0:1]) < 0.9,
+                    jnp.asarray([1.0, 0.0, 0.0], dtype),
+                    jnp.asarray([0.0, 1.0, 0.0], dtype))
+    t2 = jnp.cross(n, ref)
+    t2 = t2 / jnp.maximum(jnp.linalg.norm(t2, axis=-1, keepdims=True), 1e-8)
+    t1 = jnp.cross(t2, n)
+    return t1, t2
+
+
+def gershgorin_invL(A):
+    """Per-contact inverse Gershgorin step bounds 1/L_k from a dense
+    Delassus operator (...,K,3,K,3) -> (...,K).  The matrix-free warm
+    path (solve_contacts_mf) carries these from the rebuild substep."""
+    K = A.shape[-4]
+    batch = A.shape[:-4]
+    Af = A.reshape(batch + (K * 3, K * 3))
+    rowsum = jnp.sum(jnp.abs(Af), axis=-1).reshape(batch + (K, 3))
+    L_k = jnp.max(rowsum, axis=-1)
+    return 1.0 / jnp.maximum(L_k, 1e-8)
+
+
 def build_operator(model: PhysicsModel, Minv, J, dtype, normals=None,
                    mu=None, extra_inv_mass=None):
     """Delassus operator + cone geometry for a fixed contact set.  See
@@ -283,14 +306,7 @@ def build_operator(model: PhysicsModel, Minv, J, dtype, normals=None,
         n = jnp.broadcast_to(up, batch + (K, 3))
     else:
         n = normals
-
-    # Per-contact tangent basis orthogonal to the normal.
-    ref = jnp.where(jnp.abs(n[..., 0:1]) < 0.9,
-                    jnp.asarray([1.0, 0.0, 0.0], dtype),
-                    jnp.asarray([0.0, 1.0, 0.0], dtype))
-    t2 = jnp.cross(n, ref)
-    t2 = t2 / jnp.maximum(jnp.linalg.norm(t2, axis=-1, keepdims=True), 1e-8)
-    t1 = jnp.cross(t2, n)
+    t1, t2 = cone_basis(n, dtype)
 
     mu_k = jnp.broadcast_to(jnp.asarray(p.mu if mu is None else mu, dtype),
                             batch + (K,))
@@ -306,10 +322,7 @@ def build_operator(model: PhysicsModel, Minv, J, dtype, normals=None,
     if p.use_pallas_apgd and kernels_on_tpu():
         inv_L = None
     else:
-        Af = A.reshape(batch + (K * 3, K * 3))
-        rowsum = jnp.sum(jnp.abs(Af), axis=-1).reshape(batch + (K, 3))
-        L_k = jnp.max(rowsum, axis=-1)                      # (...,K)
-        inv_L = (1.0 / jnp.maximum(L_k, 1e-8))[..., None]   # (...,K,1)
+        inv_L = gershgorin_invL(A)[..., None]               # (...,K,1)
     return ContactOperator(J=J, W=W, A=A, n=n, t1=t1, t2=t2, mu=mu_k,
                            inv_L=inv_L)
 
@@ -411,3 +424,63 @@ def solve_with_operator(model: PhysicsModel, op: ContactOperator, v_pred,
     else:
         delta_v = jnp.einsum("...nk,...k->...n", op.W, lam_f)
     return delta_v, lam
+
+
+_MF_DISPATCH = {}
+
+
+def _apgd_mf_dispatch(K: int, nv: int, iters: int):
+    """custom_vmap for the matrix-free warm solve: unbatched calls build
+    the dense operator in XLA (same fixed point, f32); vmapped calls
+    route to the matrix-free VMEM kernel (ops/apgd_mf_kernel.py)."""
+    key = (K, nv, iters)
+    if key not in _MF_DISPATCH:
+        from jax import custom_batching
+
+        @custom_batching.custom_vmap
+        def _mf(Minv, J, v_pred, bias, n, t1, t2, act, mu, invL, lam0):
+            Mi = Minv.astype(jnp.float32)
+            Jf = J.reshape(K * 3, nv).astype(jnp.float32)
+            W = jnp.einsum("ij,kj->ik", Mi, Jf)            # (nv,3K)
+            A = jnp.einsum("ik,kj->ij", Jf, W).reshape(K, 3, K, 3)
+            vc = jnp.einsum("kin,n->ki", J, v_pred)
+            b = vc + bias[..., None] * n
+            lam = _apgd_xla(A, b, n, t1, t2, act, mu, invL, lam0,
+                            iters, warm=True)
+            dv = jnp.einsum("nk,k->n", W, lam.reshape(K * 3))
+            return dv, lam
+
+        @_mf.def_vmap
+        def _rule(axis_size, in_batched, *args):
+            from ..ops.apgd_mf_kernel import apgd_mf_solve
+            args = tuple(
+                a if bt else jnp.broadcast_to(a, (axis_size,) + a.shape)
+                for a, bt in zip(args, in_batched))
+            Minv, J, v_pred, bias, n, t1, t2, act, mu, invL, lam0 = args
+            dv, lam = apgd_mf_solve(Minv, J, v_pred, bias, n, t1, t2,
+                                    act, mu, invL, lam0, iters)
+            return (dv, lam), (True, True)
+
+        _MF_DISPATCH[key] = _mf
+    return _MF_DISPATCH[key]
+
+
+def solve_contacts_mf(model: PhysicsModel, Minv, J, v_pred, depth, active,
+                      dt, lam_warm, invL, normals, mu=None):
+    """Warm contact solve against FRESH J and M^-1 with CARRIED step
+    sizes: matrix-free APGD, no Delassus/W materialization in HBM
+    (ops/apgd_mf_kernel.py).  The fixed point is identical to
+    solve_contacts on the same inputs — invL only conditions the
+    iteration — so, unlike the held-operator cadence, staleness cannot
+    move the physics.  Returns (delta_v (...,NV), impulses (...,K,3))."""
+    p = model.params
+    K = J.shape[-3]
+    f32 = v_pred.dtype
+    n = normals
+    t1, t2 = cone_basis(n, f32)
+    bias = -p.baumgarte / dt * jnp.maximum(depth - p.contact_slop, 0.0)
+    act = active.astype(f32)
+    mu_k = jnp.broadcast_to(jnp.asarray(p.mu if mu is None else mu, f32),
+                            depth.shape)
+    return _apgd_mf_dispatch(K, model.nv, p.apgd_warm_iters)(
+        Minv, J, v_pred, bias, n, t1, t2, act, mu_k, invL, lam_warm)

@@ -115,6 +115,15 @@ class SimParams:
     # only under the held-inverse preconditions (spd + ns_refine_every=0)
     # and without dynamic obstacles (step._hold_contacts_ok).
     hold_contacts: bool = False
+    # Matrix-free warm contact solve (ops/apgd_mf_kernel.py): every warm
+    # substep still re-detects, re-selects, and re-solves against FRESH
+    # J and M^-1 — but A = J M^-1 J^T is applied matrix-free in VMEM, so
+    # the Delassus/W matmuls (21.8 GB of the 85 GB a 5-step r4 trace
+    # touches) never round-trip HBM.  Only the APGD step sizes (a
+    # preconditioner — cannot move the fixed point) are carried from the
+    # control step's rebuild substep.  Applies under the held-inverse
+    # preconditions without dynamic obstacles (step._mf_ok).
+    use_mf_apgd: bool = False
     # Operator rebuild cadence in substeps: a full hold across all 16
     # substeps (cadence 16) exceeds the intrinsic chaos rate on the
     # contact-rich gate (tools/compare_hold_contacts.py: 11.8x), so the

@@ -569,6 +569,73 @@ def _substep_held_warm(model: PhysicsModel, state: SimState, action: Action,
     return new_state, lam
 
 
+def _mf_ok(model: PhysicsModel, obstacles) -> bool:
+    """The matrix-free warm solve (contacts.solve_contacts_mf) applies on
+    the held-inverse perf path without dynamic obstacles (obstacle rows
+    add free-body Delassus diagonals + relative-velocity offsets the MF
+    kernel does not model).  Unlike hold_contacts this changes NO physics
+    — every substep re-detects, re-selects, and re-solves against fresh
+    J/M^-1; only the APGD step sizes are carried (a preconditioner)."""
+    p = model.params
+    return (p.use_mf_apgd and obstacles is None
+            and kernels_on_tpu() and _hold_inverse_ok(model))
+
+
+def _substep_mf_first(model: PhysicsModel, state: SimState, action: Action,
+                      Minv0, ground_height=0.0, refine_iters=None,
+                      refine_bf16=None):
+    """Rebuild substep of a matrix-free control step: the usual dense
+    assembly + cold APGD, PLUS the per-contact Gershgorin step sizes the
+    matrix-free warm substeps carry.  Returns (state', Minv, lam, invL)."""
+    dt = model.params.dt_sim
+    k, Minv, v_pred, _, x_pts, sc_feats = substep_presolve(
+        model, state, action, Minv0, ground_height, None,
+        refine_iters, refine_bf16)
+    J, cons, normals, mu, _ = _assemble_char_contacts(
+        model, k, ground_height, x_pts, sc_feats)
+    op = contacts_mod.build_operator(model, Minv, J, v_pred.dtype,
+                                     normals=normals, mu=mu)
+    # 0.9 safety margin: the operator drifts over the next 15 substeps,
+    # and APGD needs step <= 1/L for monotone convergence.  Gershgorin is
+    # loose, so this costs nothing measurable in residual.
+    invL = 0.9 * contacts_mod.gershgorin_invL(op.A)
+    dv, lam = contacts_mod.solve_with_operator(
+        model, op, v_pred, cons.depth, cons.active, dt)
+    new_state = integrate(model, state, v_pred + dv, dt)
+    return new_state, Minv, lam, invL
+
+
+def _substep_mf_warm(model: PhysicsModel, state: SimState, action: Action,
+                     Minv, invL, lam_warm, ground_height=0.0):
+    """Warm substep with the matrix-free contact solve: fresh detection,
+    selection, Jacobian, and M^-1 action every substep — the Delassus
+    operator is just never materialized.  (state', lam)."""
+    dt = model.params.dt_sim
+    k, _, v_pred, _, x_pts, sc_feats = substep_presolve(
+        model, state, action, Minv, ground_height, None, refine_iters=0)
+    J, cons, normals, mu, _ = _assemble_char_contacts(
+        model, k, ground_height, x_pts, sc_feats)
+    dv, lam = contacts_mod.solve_contacts_mf(
+        model, Minv, J, v_pred, cons.depth, cons.active, dt,
+        lam_warm, invL, normals, mu)
+    new_state = integrate(model, state, v_pred + dv, dt)
+    return new_state, lam
+
+
+def _mf_warm_scan(model: PhysicsModel, state: SimState, action: Action,
+                  Minv, invL, lam, ground_height, length):
+    """Scan `length` matrix-free warm substeps (Minv/invL loop-invariant,
+    closed over — never copied through the carry)."""
+    def body(carry, _):
+        st, lm = carry
+        st, lm = _substep_mf_warm(model, st, action, Minv, invL, lm,
+                                  ground_height)
+        return (st, lm), None
+
+    (state, lam), _ = jax.lax.scan(body, (state, lam), None, length=length)
+    return state, lam
+
+
 def solve_ground_self(model: PhysicsModel, k, Minv, v_pred,
                       ground_height=0.0, lam_warm=None, obstacles=None,
                       x_pts=None, sc_feats=None):
@@ -707,6 +774,16 @@ def control_step(model: PhysicsModel, state: SimState, action: Action,
                                          length=n_blocks - 1)
         return state
 
+    if _mf_ok(model, obstacles):
+        state, Minv, lam, invL = _substep_mf_first(
+            model, state, action, None, ground_height)
+        Minv_w = Minv.astype(jnp.bfloat16) \
+            if _bf16_inverse_ok(model) else Minv
+        state, _ = _mf_warm_scan(model, state, action, Minv_w, invL, lam,
+                                 ground_height,
+                                 model.params.num_substeps - 1)
+        return state
+
     state, Minv, obstacles2, lam = substep(model, state, action, None,
                                            ground_height, obstacles)
 
@@ -788,6 +865,17 @@ def control_step_carry(model: PhysicsModel, state: SimState, action: Action,
         if n_blocks > 1:
             (state, _), _ = jax.lax.scan(block, (state, lam), None,
                                          length=n_blocks - 1)
+        return state, Minv, None
+
+    if _mf_ok(model, obstacles):
+        state, Minv, lam, invL = _substep_mf_first(
+            model, state, action, Minv0.astype(jnp.float32), ground_height,
+            refine_iters=seed_refine_iters, refine_bf16=False)
+        Minv = Minv.astype(jnp.bfloat16) \
+            if _bf16_inverse_ok(model) else Minv
+        state, _ = _mf_warm_scan(model, state, action, Minv, invL, lam,
+                                 ground_height,
+                                 model.params.num_substeps - 1)
         return state, Minv, None
 
     state, Minv, obstacles2, lam = substep(

@@ -33,6 +33,18 @@ def test_default_kernels_lower_for_tpu(loco_model):
     assert not bad, f"kernels failed TPU lowering: {bad}"
 
 
+def test_mf_apgd_kernel_lowers_for_tpu():
+    """The matrix-free APGD kernel must lower whenever its flag is on
+    (it is probed only when use_mf_apgd is set)."""
+    import dataclasses
+
+    m = model_mod.load_loco_model(
+        params=model_mod.SimParams(use_mf_apgd=True))
+    results = probe_mod.probe_model_kernels(m)
+    assert "apgd_mf" in results
+    assert results["apgd_mf"] is None, results["apgd_mf"]
+
+
 def test_gate_detects_unlowerable_primitive():
     """Negative control: the gate mechanism must catch the exact round-3
     failure class (an atan2 inside a Pallas TPU kernel)."""

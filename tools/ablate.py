@@ -92,6 +92,9 @@ def main():
          args.batch),
         ("hold_e8", {"hold_contacts": True, "hold_contacts_every": 8},
          args.batch),
+        # r4 matrix-free warm contact solve (fresh physics, no Delassus
+        # materialization); fixed point identical to baseline
+        ("mf_apgd", {"use_mf_apgd": True}, args.batch),
         ("pallas_apgd", {"use_pallas_apgd": True}, args.batch),
         ("pallas_fk", {"use_pallas_fk": True}, args.batch),
         ("fused_dyn", {"use_fused_dynamics": True}, args.batch),
