@@ -16,11 +16,18 @@ and the small cone vectors).
 Step sizes: the per-contact Gershgorin bounds 1/L_k need |A|'s rows,
 which matrix-free cannot see.  The caller passes them in, carried from
 the control step's REBUILD substep, where the dense operator is formed
-anyway (cold solve, 16 iters).  A step size is a preconditioner —
-staleness only slows convergence within the fixed iteration budget, it
-never moves the solve's fixed point.  This is the crucial difference from
-holding the operator itself, which moves the fixed point and failed the
-intrinsic-chaos gate (tools/compare_hold_contacts.py, 8.5-11.5x).
+anyway (cold solve, 16 iters).  A step size is a preconditioner — it
+never moves the solve's FIXED POINT — but at apgd_warm_iters=5 the solve
+is approximate, and the carried sizes are per-SLOT while the top-K
+contact selection reorders slots between substeps, so a misassigned
+large 1/L makes the truncated iterates overshoot.  Measured result
+(tools/compare_mf_apgd.py): trajectory divergence 8.84x the intrinsic
+chaos rate — FAILS the same gate that rejected the held operator —
+and the perf A/B showed +9% sim_only but only +0.1% on the full env
+step at B=2048.  use_mf_apgd therefore stays opt-in (default off);
+the kernel is kept as the reference implementation of the matrix-free
+dataflow (and for configs with larger warm budgets, where the
+truncation gap closes).
 
 Reference behavior: Bullet re-forms and re-solves its contact constraints
 every substep inside stepSimulation (the reference drives it at

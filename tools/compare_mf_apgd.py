@@ -4,9 +4,16 @@
 Same methodology as tools/compare_hold_contacts.py: the MF path is
 faithful if its divergence from the dense per-substep path grows at the
 intrinsic chaos rate (measured by a 1e-6 velocity perturbation of the
-dense path), not above it.  Unlike the held operator, MF re-solves fresh
-physics every substep — only the APGD step sizes are carried — so this
-gate should pass with margin.
+dense path), not above it.
+
+MEASURED (r4, B=64, 30 control steps): ratio 8.84 — EXCEEDS CHAOS.
+Although the QP fixed point is untouched, at apgd_warm_iters=5 the solve
+is approximate and the carried per-SLOT step sizes are misassigned when
+the top-K contact selection reorders slots between substeps (a light
+contact's large 1/L applied to a heavy contact's rows makes the 5
+iterates overshoot).  Combined with the perf A/B (sim_only +9% but
+env_step +0.1% at B=2048 — the env hot loop is not dominated by the
+dense operator build), use_mf_apgd stays OPT-IN, default off.
 
 Run on TPU (the MF kernel needs Mosaic): python tools/compare_mf_apgd.py
 """
