@@ -79,14 +79,21 @@ def contact_jacobian(model: PhysicsModel, k_fk, contacts: Contacts):
     is_ang = jnp.asarray(model.dof_is_ang)
     anc = jnp.asarray(model.anc)    # (NB,NV)
 
-    x = contacts.pos[..., :, None, :]          # (...,K,1,3)
-    r = x - anchor[..., None, :, :]            # (...,K,NV,3)
-    Jang = jnp.cross(axis[..., None, :, :], r)  # a_d x (x - p_d)
-    Jlin = jnp.broadcast_to(axis[..., None, :, :], Jang.shape)
-    Jcols = jnp.where(is_ang[:, None], Jang, Jlin)  # (...,K,NV,3)
+    # Row-major assembly: build the 3 world rows as (...,K,NV) planes and
+    # stack on axis -2.  Same arithmetic as cross() on a 3-minor layout,
+    # but the output is born (...,K,3,NV) — no (...,K,NV,3) intermediate
+    # and no swapaxes relayout (47 MB r+w per substep at B=2048; the
+    # Jacobian-build lines were 8 ms / 13 GB of the r4 device trace).
+    ax, ay, az = (axis[..., None, :, 0], axis[..., None, :, 1],
+                  axis[..., None, :, 2])                     # (...,1,NV)
+    rx = contacts.pos[..., :, 0:1] - anchor[..., None, :, 0]  # (...,K,NV)
+    ry = contacts.pos[..., :, 1:2] - anchor[..., None, :, 1]
+    rz = contacts.pos[..., :, 2:3] - anchor[..., None, :, 2]
+    J0 = jnp.where(is_ang, ay * rz - az * ry, jnp.broadcast_to(ax, rx.shape))
+    J1 = jnp.where(is_ang, az * rx - ax * rz, jnp.broadcast_to(ay, rx.shape))
+    J2 = jnp.where(is_ang, ax * ry - ay * rx, jnp.broadcast_to(az, rx.shape))
     mask = anc[contacts.body]                  # (...,K,NV)
-    Jcols = Jcols * mask[..., None]
-    return jnp.swapaxes(Jcols, -1, -2)         # (...,K,3,NV)
+    return jnp.stack([J0, J1, J2], axis=-2) * mask[..., None, :]
 
 
 def _inv3(m):
@@ -300,6 +307,14 @@ def build_operator(model: PhysicsModel, Minv, J, dtype, normals=None,
         eye_blocks = (jnp.eye(K)[:, None, :, None]
                       * jnp.eye(3)[None, :, None, :])          # (K,3,K,3)
         A = A + extra_inv_mass[..., :, None, None, None] * eye_blocks
+    if bf16:
+        # Store W in bf16: both consumers (the A build above and the
+        # delta_v einsum in solve_with_operator) cast it to bf16 anyway,
+        # so the values are bit-identical — this just moves the convert
+        # into the dot epilogue and halves the (…,NV,3K) HBM round trip,
+        # the single largest stream of the per-substep operator build
+        # (r4 device trace: contacts.py build lines = 21 ms / 22 GB).
+        W = W.astype(jnp.bfloat16)
 
     up = jnp.asarray(model.v_up_env, dtype=dtype)
     if normals is None:
@@ -321,6 +336,10 @@ def build_operator(model: PhysicsModel, Minv, J, dtype, normals=None,
     from .step import kernels_on_tpu
     if p.use_pallas_apgd and kernels_on_tpu():
         inv_L = None
+        # The VMEM APGD kernel consumes A in bf16 (ops/apgd_kernel.py);
+        # casting here instead of in the adapter is bit-identical and
+        # halves the Delassus write + feature-major transpose traffic.
+        A = A.astype(jnp.bfloat16)
     else:
         inv_L = gershgorin_invL(A)[..., None]               # (...,K,1)
     return ContactOperator(J=J, W=W, A=A, n=n, t1=t1, t2=t2, mu=mu_k,

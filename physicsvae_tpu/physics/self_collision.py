@@ -186,11 +186,17 @@ def pair_jacobian(model: PhysicsModel, k_fk, pos, body_i, body_j):
     is_ang = jnp.asarray(model.dof_is_ang)
     anc = jnp.asarray(model.anc)
 
-    x = pos[..., :, None, :]
-    r = x - anchor[..., None, :, :]
-    Jang = jnp.cross(axis[..., None, :, :], r)
-    Jlin = jnp.broadcast_to(axis[..., None, :, :], Jang.shape)
-    Jcols = jnp.where(is_ang[:, None], Jang, Jlin)       # (...,K2,NV,3)
-    mask = anc[body_i].astype(Jcols.dtype) - anc[body_j].astype(Jcols.dtype)
-    Jcols = Jcols * mask[..., None]
-    return jnp.swapaxes(Jcols, -1, -2)
+    # Row-major assembly (see contacts.contact_jacobian): the 3 world rows
+    # are built as (...,K2,NV) planes and stacked on axis -2, so the
+    # Jacobian is born (...,K2,3,NV) with no swapaxes relayout.
+    ax, ay, az = (axis[..., None, :, 0], axis[..., None, :, 1],
+                  axis[..., None, :, 2])                     # (...,1,NV)
+    rx = pos[..., :, 0:1] - anchor[..., None, :, 0]          # (...,K2,NV)
+    ry = pos[..., :, 1:2] - anchor[..., None, :, 1]
+    rz = pos[..., :, 2:3] - anchor[..., None, :, 2]
+    J0 = jnp.where(is_ang, ay * rz - az * ry, jnp.broadcast_to(ax, rx.shape))
+    J1 = jnp.where(is_ang, az * rx - ax * rz, jnp.broadcast_to(ay, rx.shape))
+    J2 = jnp.where(is_ang, ax * ry - ay * rx, jnp.broadcast_to(az, rx.shape))
+    f32 = J0.dtype
+    mask = anc[body_i].astype(f32) - anc[body_j].astype(f32)
+    return jnp.stack([J0, J1, J2], axis=-2) * mask[..., None, :]
