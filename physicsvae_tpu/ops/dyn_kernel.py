@@ -683,3 +683,59 @@ def dynamics_terms_fused_lean(model, state, target_q=None, target_w=None,
         body_com=None, body_w=None, body_vcom=None, body_vo=None,
         dof_axis=dof_axis, dof_pos=dof_pos)
     return k, c.T.reshape(B, model.nv), x.T.reshape(B, NP_, 3), sc
+
+
+def _sel_raw_outputs(model, state, lean: bool, target_q=None,
+                     target_w=None, interpret=False):
+    """dynamics_terms_fused[_lean] minus the candidate-point conversions:
+    the contact-point rows x (3NP, B) and self-collision narrow-phase
+    rows sc (7P, B) come back RAW feature-major for the select-then-
+    transpose path (physics/step._fused_dynamics_sel), which selects the
+    top-K in that layout and only transposes the K winners.  Everything
+    else (FKResult, dynamics terms) is batch-major as usual.
+
+    Returns lean: (k, c_or_tmc, x_fm, sc_fm);
+    full: (k, S, I_sp, V, c, x_fm, sc_fm).  sc_fm is None when
+    self-fusion is off."""
+    from ..physics.fk import FKResult
+
+    assert state.root_p.ndim == 2, "fused dynamics expects a batched state"
+    B = state.root_p.shape[0]
+    NB = model.num_bodies
+    J = model.num_joints
+    NV = model.nv
+
+    fuse_spd = target_q is not None
+    fuse_self = _wants_self_fuse(model)
+    extra = {}
+    if fuse_spd:
+        extra = dict(tq=target_q.reshape(B, 4 * J).T,
+                     tw=target_w.reshape(B, 3 * J).T)
+    outs = dynamics_fused_fm(
+        model, *_fm_inputs(model, state), interpret=interpret, lean=lean,
+        fuse_spd=fuse_spd, fuse_self=fuse_self, **extra)
+    sc_fm = None
+    if fuse_self:
+        outs, sc_fm = outs[:-1], outs[-1]
+    if lean:
+        q, p, c, x_fm = outs
+        body_q = q.T.reshape(B, NB, 4)
+        body_p = p.T.reshape(B, NB, 3)
+        dof_axis, dof_pos = _dof_tables(model, body_q, body_p)
+        k = FKResult(
+            body_q=body_q, body_p=body_p,
+            body_com=None, body_w=None, body_vcom=None, body_vo=None,
+            dof_axis=dof_axis, dof_pos=dof_pos)
+        return k, c.T.reshape(B, NV), x_fm, sc_fm
+    (q, p, w, vo, com, vcom, S, I, V, c, x_fm) = outs
+    body_q = q.T.reshape(B, NB, 4)
+    body_p = p.T.reshape(B, NB, 3)
+    dof_axis, dof_pos = _dof_tables(model, body_q, body_p)
+    k = FKResult(
+        body_q=body_q, body_p=body_p,
+        body_com=com.T.reshape(B, NB, 3), body_w=w.T.reshape(B, NB, 3),
+        body_vcom=vcom.T.reshape(B, NB, 3),
+        body_vo=vo.T.reshape(B, NB, 3),
+        dof_axis=dof_axis, dof_pos=dof_pos)
+    return (k, S.T.reshape(B, NV, 6), I.T.reshape(B, NB, 6, 6),
+            V.T.reshape(B, NB, 6), c.T.reshape(B, NV), x_fm, sc_fm)

@@ -71,6 +71,63 @@ def select_contacts_oh(model: PhysicsModel, x, depth, margin=0.0):
                     point_idx=idx), oh
 
 
+class GroundSel(NamedTuple):
+    """Selected ground contacts (select-then-transpose path): the K
+    deepest candidates, already gathered.  Batch-major after the
+    custom_vmap rule."""
+    pos: jnp.ndarray        # (...,K,3)
+    depth: jnp.ndarray      # (...,K)
+    body: jnp.ndarray       # (...,K) int32
+    point_idx: jnp.ndarray  # (...,K) int32
+
+
+class SelfSel(NamedTuple):
+    """Selected self-collision contacts (select-then-transpose path)."""
+    pos: jnp.ndarray        # (...,K2,3)
+    normal: jnp.ndarray     # (...,K2,3)
+    depth: jnp.ndarray      # (...,K2)
+    body_i: jnp.ndarray     # (...,K2) int32
+    body_j: jnp.ndarray     # (...,K2) int32
+
+
+def detect_ground_fm(model: PhysicsModel, x_fm, ground=0.0):
+    """Feature-major detect_ground: x_fm (3*NP, B) kernel rows (point p's
+    world position at rows 3p..3p+2, batch on lanes).  Returns depth
+    (NP, B).  Same maths as detect_ground — the dot with the up axis is
+    written out component-wise so it stays lane-parallel elementwise."""
+    NP_ = x_fm.shape[0] // 3
+    xr = x_fm.reshape(NP_, 3, x_fm.shape[-1])            # (NP,3,B)
+    up = [float(u) for u in model.v_up_env]
+    h = sum(up[i] * xr[:, i, :] for i in range(3) if up[i] != 0.0)
+    if hasattr(ground, "height_at"):
+        gh = ground.height_at(xr[:, 0, :], xr[:, 2, :])
+    else:
+        gh = ground
+    return jnp.asarray(model.point_radius)[:, None] - (h - gh)
+
+
+def select_contacts_fm(model: PhysicsModel, x_fm, depth_fm):
+    """Feature-major top-K ground selection + gather: x_fm (3NP,B),
+    depth_fm (NP,B) -> GroundSel in FEATURE-major form
+    (pos (K,3,B), depth (K,B), body (K,B), point_idx (K,B)).
+
+    Identical selections and (exact one-hot) gathers as
+    select_contacts_oh; the gathers are written as multiply-reduce so
+    they run as lane-parallel VPU loop fusions instead of MXU-padded
+    per-env matvecs (the tiny-K one-hot einsums cost ~10 ms/trace
+    batch-major, r4 device trace)."""
+    from .linalg import topk_rank_fm
+
+    NP_ = depth_fm.shape[0]
+    K = min(model.params.num_contacts, NP_)
+    d, idx, oh = topk_rank_fm(depth_fm, K)               # (K,B)/(K,NP,B)
+    xr = x_fm.reshape(NP_, 3, x_fm.shape[-1])
+    pos = jnp.sum(oh[:, :, None, :] * xr[None], axis=1)  # (K,3,B)
+    body_f = jnp.asarray(model.point_body, jnp.float32)[None, :, None]
+    body = jnp.sum(oh * body_f, axis=1).astype(jnp.int32)  # (K,B)
+    return GroundSel(pos=pos, depth=d, body=body, point_idx=idx)
+
+
 def contact_jacobian(model: PhysicsModel, k_fk, contacts: Contacts):
     """J: (...,K,3,NV) mapping generalized velocity -> world velocity of each
     contact point (rows: world x,y,z)."""

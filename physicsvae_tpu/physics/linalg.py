@@ -163,6 +163,65 @@ def topk_rank_2stage(x, K: int, chunk: int = 64):
     return v2, idx, onehot
 
 
+def topk_rank_fm(x, K: int):
+    """Feature-major topk_rank: x (P, B) with the BATCH on the minor
+    (lane) axis.  Same stable ranking formula as topk_rank — identical
+    selections — but every op is lane-parallel elementwise/reduce work,
+    so nothing forces a batch-major relayout of kernel-resident
+    feature-major data (the select-then-transpose path: only the K
+    selected rows ever get transposed to batch-major).
+
+    Returns (vals (K,B), idx (K,B) int32, onehot (K,P,B) f32)."""
+    P = x.shape[0]
+    xi = x[:, None, :]
+    xj = x[None, :, :]
+    tri = jnp.triu(jnp.ones((P, P), bool), 1)[..., None]   # i < j
+    rank = jnp.sum((xi > xj) | ((xi == xj) & tri), axis=0)  # (P,B)
+    ks = jnp.arange(K)[:, None, None]
+    onehot = (rank[None, :, :] == ks).astype(jnp.float32)   # (K,P,B)
+    vals = jnp.sum(onehot * x[None, :, :], axis=1)          # (K,B)
+    iota = jnp.arange(P, dtype=jnp.float32)[None, :, None]
+    idx = jnp.sum(onehot * iota, axis=1).astype(jnp.int32)
+    return vals, idx, onehot
+
+
+def topk_rank_2stage_fm(x, K: int, chunk: int = 64):
+    """Feature-major topk_rank_2stage: x (P, B), batch on lanes.  Same
+    chunked exact ranking as topk_rank_2stage (identical selections);
+    returns (vals (K,B), idx (K,B), onehot (K,P,B))."""
+    P = x.shape[0]
+    n_chunks = -(-P // chunk)
+    if n_chunks <= 1 or n_chunks * K >= P:
+        return topk_rank_fm(x, K)
+    pad = n_chunks * chunk - P
+    neg = jnp.finfo(x.dtype).min
+    xp = jnp.concatenate(
+        [x, jnp.full((pad,) + x.shape[1:], neg, x.dtype)], axis=0) \
+        if pad else x
+    xc = xp.reshape(n_chunks, chunk, x.shape[-1])        # (nc,chunk,B)
+    # stage 1: rank within each chunk (chunk plays the P role on axis 1)
+    xi = xc[:, :, None, :]
+    xj = xc[:, None, :, :]
+    tri = jnp.triu(jnp.ones((chunk, chunk), bool), 1)[..., None]
+    rank1 = jnp.sum((xi > xj) | ((xi == xj) & tri), axis=1)  # (nc,chunk,B)
+    ks = jnp.arange(K)[:, None, None, None]
+    oh1 = (rank1[None] == ks).astype(jnp.float32)        # (K,nc,chunk,B)
+    v1 = jnp.sum(oh1 * xc[None], axis=2)                 # (K,nc,B)
+    iota_c = jnp.arange(chunk, dtype=jnp.float32)[None, None, :, None]
+    i1 = jnp.sum(oh1 * iota_c, axis=2)                   # (K,nc,B) f32
+    base = (jnp.arange(n_chunks, dtype=jnp.float32) * chunk)[None, :, None]
+    gidx = (i1 + base)                                   # (K,nc,B)
+    # flatten finalists to (nc*K, B); stage-1 emits (K,nc) so transpose
+    # the two MAJOR dims (free) to match topk_rank_2stage's (nc,K) order
+    flat = jnp.swapaxes(v1, 0, 1).reshape(n_chunks * K, x.shape[-1])
+    gflat = jnp.swapaxes(gidx, 0, 1).reshape(n_chunks * K, x.shape[-1])
+    v2, _, oh2 = topk_rank_fm(flat, K)                   # (K,B)/(K,F,B)
+    idx = jnp.sum(oh2 * gflat[None], axis=1).astype(jnp.int32)  # (K,B)
+    onehot = (idx[:, None, :]
+              == jnp.arange(P)[None, :, None]).astype(jnp.float32)
+    return v2, idx, onehot
+
+
 def topk_argmax(x, K: int):
     """Exact top-K via K iterated argmax sweeps.
 

@@ -104,6 +104,18 @@ class SimParams:
     # in HBM (r4 trace: ~23% of device time).  Selection (top-K2) stays
     # in XLA.  False = XLA narrow phase (the ablation control).
     fuse_self_narrow: bool = True
+    # Feature-major contact selection fused into the dynamics-kernel
+    # dispatch (step._fused_dynamics_sel): ground detection, top-K
+    # ranking, and the one-hot gathers run on the kernel's native
+    # (rows, batch-lanes) layout and only the K selected rows are
+    # transposed to batch-major.  Removes the (B,P,·) candidate-feature
+    # relayouts (30 MB/substep at B=2048) and the MXU-padded tiny one-hot
+    # einsums of the batch-major path.  Identical ranking formula —
+    # selections are bit-identical.  Applies on the fused TPU path
+    # without dynamic obstacles, when the ground is a trace-time constant
+    # (scalar plane or Heightmap).  False = batch-major selection (the
+    # ablation control).
+    fuse_selection: bool = True
     # Hold the CONTACT OPERATOR (top-K selection, Jacobian, Delassus
     # J M^-1 J^T, cone bases) across the warm substeps of a control step,
     # the same cadence trick as the held inverse: the contact set barely

@@ -217,17 +217,17 @@ def scene_step(model: PhysicsModel, states: SimState, actions,
     dt = p.dt_sim
 
     def presolve_cold(st, act):
-        k, Mi, v_pred, _, _, sc = step_mod.substep_presolve(
-            model, st, act, None, ground_height)
+        k, Mi, v_pred, _, _, sc, _ = step_mod.substep_presolve(
+            model, st, act, None, ground_height, want_sel=False)
         return k, Mi.astype(jnp.float32), v_pred, sc
 
     def presolve_warm(st, act, Mi):
         # f32 refinement: scene momentum error scales with inverse-residual
         # x collision impulse, so scenes keep the inverse at ~1e-4 resid
         # (bf16's 4e-3 floor would show up as per-collision momentum drift)
-        k, Mi, v_pred, _, _, sc = step_mod.substep_presolve(
+        k, Mi, v_pred, _, _, sc, _ = step_mod.substep_presolve(
             model, st, act, Mi, ground_height,
-            refine_iters=2, refine_bf16=False)
+            refine_iters=2, refine_bf16=False, want_sel=False)
         return k, Mi, v_pred, sc
 
     def one_substep(sts, Minvs, lam_g, lam_p, pool):

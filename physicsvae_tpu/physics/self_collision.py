@@ -169,6 +169,40 @@ def select_self_contacts_oh(model: PhysicsModel, pos, normal, depth):
     return (sel[..., 0:3], sel[..., 3:6], dd, bi_s, bj_s), oh
 
 
+def select_self_contacts_fm(model: PhysicsModel, sc_fm):
+    """Feature-major top-K2 self-collision selection straight off the
+    fused dynamics kernel's (7P, B) narrow-phase rows ([dist; pos xyz;
+    normal xyz] per static pair, batch on lanes) — the (B,P,·) batch-major
+    unpack transposes 30 MB/substep at B=2048 (r4 trace copy of
+    f32[2048,7,263]); selecting in feature-major transposes only the K2
+    chosen rows.  Identical selections/gathers as select_self_contacts_oh.
+
+    Returns contacts.SelfSel in feature-major form: pos/normal (K2,3,B),
+    depth (K2,B), body_i/body_j (K2,B) int32."""
+    from .contacts import SelfSel
+    from .linalg import topk_rank_2stage_fm
+
+    pairs = np.asarray(model.self_pairs)
+    P_ = pairs.shape[0]
+    B = sc_fm.shape[-1]
+    cap_r = np.asarray(model.cap_r)
+    rsum = jnp.asarray((cap_r[pairs[:, 0]]
+                        + cap_r[pairs[:, 1]]).astype(np.float32))
+    m = sc_fm.reshape(7, P_, B)
+    depth = rsum[:, None] - m[0]                          # (P,B)
+
+    K2 = model.params.num_self_contacts
+    dd, _, oh = topk_rank_2stage_fm(depth, K2)            # (K2,B)/(K2,P,B)
+    feats = m[1:7]                                        # (6,P,B)
+    sel = jnp.sum(oh[:, None, :, :] * feats[None], axis=2)  # (K2,6,B)
+    bi_f = jnp.asarray(pairs[:, 0], jnp.float32)[None, :, None]
+    bj_f = jnp.asarray(pairs[:, 1], jnp.float32)[None, :, None]
+    bi_s = jnp.sum(oh * bi_f, axis=1).astype(jnp.int32)   # (K2,B)
+    bj_s = jnp.sum(oh * bj_f, axis=1).astype(jnp.int32)
+    return SelfSel(pos=sel[:, 0:3], normal=sel[:, 3:6], depth=dd,
+                   body_i=bi_s, body_j=bj_s)
+
+
 def detect_self_contacts(model: PhysicsModel, k_fk):
     """Deepest K2 self-collision candidates (narrow phase + selection).
 

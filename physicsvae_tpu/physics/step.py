@@ -347,15 +347,181 @@ def _fused_dynamics_spd(model: PhysicsModel):
     return _f
 
 
+def _ground_selable(ground) -> bool:
+    """The fused-selection dispatch closes over the ground, so it must be
+    a trace-time constant: a Python/numpy scalar plane height or a
+    Heightmap (whose grid arrays are constants).  Traced array heights
+    fall back to the batch-major selection path."""
+    import numpy as _np
+    return (isinstance(ground, (int, float, _np.floating))
+            or hasattr(ground, "height_at"))
+
+
+def _ground_key(ground):
+    return (("f", float(ground)) if isinstance(ground, (int, float))
+            or hasattr(ground, "dtype") else ("hm", id(ground)))
+
+
+def _fused_dynamics_sel(model: PhysicsModel, ground, mode: str):
+    """custom_vmap dispatch for the fused kernel + IN-RULE feature-major
+    contact detection/selection (select-then-transpose): the kernel's
+    candidate points (3NP,B) and self-collision narrow phase (7P,B) stay
+    in their native feature-major layout through detect_ground_fm /
+    topk / one-hot gathers, and only the K selected rows are transposed
+    to batch-major.  This removes the 30 MB/substep (B,P,·) relayouts
+    and the MXU-padded tiny one-hot einsums of the batch-major path
+    (r4 device trace: ~12 ms of a 107 ms 5-control-step trace).
+
+    mode: "spd" (lean + fused stable-PD), "lean", or "full" (cold
+    substep, mass-matrix outputs kept).  Returns the same tuple as the
+    corresponding _fused_dynamics* dispatch with (x, sc) replaced by
+    sel = (GroundSel, SelfSel-or-None), all batch-major."""
+    key = (id(model), "sel", mode, _ground_key(ground))
+    if key in _FUSED_DYN_CACHE:
+        return _FUSED_DYN_CACHE[key]
+
+    import dataclasses as _dc
+
+    from jax import custom_batching
+
+    from .contacts import (GroundSel, SelfSel, detect_ground,
+                           detect_ground_fm, select_contacts_fm,
+                           select_contacts_oh)
+    from .dynamics import dynamics_terms_split
+    from .fk import _fk_xla
+
+    from ..ops.dyn_kernel import _wants_self_fuse
+
+    fuse_self = _wants_self_fuse(model)
+
+    def _select_bm(x, sc):
+        """Unbatched fallback selection (the existing batch-major
+        helpers; bit-identical ranking formula to the fm rule)."""
+        depth = detect_ground(model, x, ground)
+        cons, _ = select_contacts_oh(model, x, depth)
+        gsel = GroundSel(pos=cons.pos, depth=cons.depth, body=cons.body,
+                         point_idx=cons.point_idx)
+        ssel = None
+        if fuse_self:
+            from .self_collision import select_self_contacts_oh
+            (sp, sn, sd, bi, bj), _ = select_self_contacts_oh(model, *sc)
+            ssel = SelfSel(pos=sp, normal=sn, depth=sd, body_i=bi,
+                           body_j=bj)
+        return gsel, ssel
+
+    def _fallback_tail(state, k):
+        x, _ = contact_point_positions(model, k)
+        sc = None
+        if fuse_self:
+            from .self_collision import self_pair_features
+            sc = self_pair_features(model, k)
+        return _select_bm(x, sc)
+
+    if mode == "spd":
+        @custom_batching.custom_vmap
+        def _f(root_p, root_q, joint_q, vel, target_q, target_w):
+            state = SimState(root_p, root_q, joint_q, vel)
+            k = _fk_xla(model, state)
+            S, I_sp, V, c = dynamics_terms_split(model, state, k)
+            tau = spd_torque(model, state,
+                             Action(target_q=target_q, target_w=target_w),
+                             model.params.dt_sim)
+            sel = _fallback_tail(state, k)
+            k = _dc.replace(k, body_com=None, body_w=None,
+                            body_vcom=None, body_vo=None)
+            return k, tau - c, sel
+    elif mode == "lean":
+        @custom_batching.custom_vmap
+        def _f(root_p, root_q, joint_q, vel):
+            state = SimState(root_p, root_q, joint_q, vel)
+            k = _fk_xla(model, state)
+            S, I_sp, V, c = dynamics_terms_split(model, state, k)
+            sel = _fallback_tail(state, k)
+            k = _dc.replace(k, body_com=None, body_w=None,
+                            body_vcom=None, body_vo=None)
+            return k, c, sel
+    else:
+        @custom_batching.custom_vmap
+        def _f(root_p, root_q, joint_q, vel):
+            state = SimState(root_p, root_q, joint_q, vel)
+            k = _fk_xla(model, state)
+            S, I_sp, V, c = dynamics_terms_split(model, state, k)
+            sel = _fallback_tail(state, k)
+            return k, S, I_sp, V, c, sel
+
+    def _sel_fm_rule(x_fm, sc_fm):
+        """Feature-major selection on the raw kernel rows, then
+        transpose only the selected K rows to batch-major."""
+        from .self_collision import select_self_contacts_fm
+        depth_fm = detect_ground_fm(model, x_fm, ground)
+        g = select_contacts_fm(model, x_fm, depth_fm)
+        gsel = GroundSel(pos=jnp.transpose(g.pos, (2, 0, 1)),
+                         depth=g.depth.T, body=g.body.T,
+                         point_idx=g.point_idx.T)
+        ssel = None
+        if fuse_self:
+            s = select_self_contacts_fm(model, sc_fm)
+            ssel = SelfSel(pos=jnp.transpose(s.pos, (2, 0, 1)),
+                           normal=jnp.transpose(s.normal, (2, 0, 1)),
+                           depth=s.depth.T, body_i=s.body_i.T,
+                           body_j=s.body_j.T)
+        return gsel, ssel
+
+    from ..ops.dyn_kernel import (_fm_inputs, _sel_raw_outputs,
+                                  dynamics_fused_fm)
+
+    if mode == "spd":
+        @_f.def_vmap
+        def _rule(axis_size, in_batched, root_p, root_q, joint_q, vel,
+                  target_q, target_w):
+            from ..ops.dyn_kernel import dynamics_terms_fused_lean
+            state = SimState(root_p, root_q, joint_q, vel)
+            target_q = jnp.broadcast_to(
+                target_q, (axis_size,) + target_q.shape[-2:]) \
+                if not in_batched[4] else target_q
+            target_w = jnp.broadcast_to(
+                target_w, (axis_size,) + target_w.shape[-2:]) \
+                if not in_batched[5] else target_w
+            k, tmc, x_fm, sc_fm = _sel_raw_outputs(
+                model, state, lean=True, target_q=target_q,
+                target_w=target_w)
+            out = (k, tmc, _sel_fm_rule(x_fm, sc_fm))
+            return out, jax.tree.map(lambda _: True, out)
+    elif mode == "lean":
+        @_f.def_vmap
+        def _rule(axis_size, in_batched, root_p, root_q, joint_q, vel):
+            state = SimState(root_p, root_q, joint_q, vel)
+            k, c, x_fm, sc_fm = _sel_raw_outputs(model, state, lean=True)
+            out = (k, c, _sel_fm_rule(x_fm, sc_fm))
+            return out, jax.tree.map(lambda _: True, out)
+    else:
+        @_f.def_vmap
+        def _rule(axis_size, in_batched, root_p, root_q, joint_q, vel):
+            state = SimState(root_p, root_q, joint_q, vel)
+            k, S, I_sp, V, c, x_fm, sc_fm = _sel_raw_outputs(
+                model, state, lean=False)
+            out = (k, S, I_sp, V, c, _sel_fm_rule(x_fm, sc_fm))
+            return out, jax.tree.map(lambda _: True, out)
+
+    _FUSED_DYN_CACHE[key] = _f
+    return _f
+
+
 def substep_presolve(model: PhysicsModel, state: SimState, action: Action,
                      Minv=None, ground_height=0.0, obstacles=None,
-                     refine_iters=None, refine_bf16=None):
+                     refine_iters=None, refine_bf16=None,
+                     want_sel: bool = True):
     """Everything before the contact solve: FK, dynamics terms, (refined)
     damped-mass inverse, actuation, predicted velocity, obstacle coupling.
 
-    Returns (k, Minv, v_pred, obstacles).  Split out so multi-agent scenes
-    can couple inter-agent contacts on v_pred BEFORE integration
-    (physics/multi_agent.py scene_step).
+    Returns (k, Minv, v_pred, obstacles, x_pts, sc_feats, sel).  With
+    want_sel (default) on the fused TPU path, contact detection +
+    selection run feature-major inside the kernel dispatch and `sel`
+    carries the selected contacts ((GroundSel, SelfSel|None)); x_pts and
+    sc_feats are then None.  Callers that need the raw candidates (held-
+    contact refresh, obstacle coupling, multi-agent) pass want_sel=False.
+    Split out so multi-agent scenes can couple inter-agent contacts on
+    v_pred BEFORE integration (physics/multi_agent.py scene_step).
     """
     p = model.params
     dt = p.dt_sim
@@ -369,11 +535,20 @@ def substep_presolve(model: PhysicsModel, state: SimState, action: Action,
     lean = Minv is not None and n_refine == 0 and p.fuse_warm_kernel
     tmc = None
     sc_feats = None
+    sel = None
+    x_pts = None
+    use_sel = (want_sel and obstacles is None and p.fuse_selection
+               and _ground_selable(ground_height))
     if p.use_fused_dynamics and kernels_on_tpu():
         if lean and p.actuation == "spd":
-            k, tmc, x_pts, sc_feats = _fused_dynamics_spd(model)(
-                state.root_p, state.root_q, state.joint_q, state.vel,
-                action.target_q, action.target_w)
+            fd = (_fused_dynamics_sel(model, ground_height, "spd")
+                  if use_sel else _fused_dynamics_spd(model))
+            out = fd(state.root_p, state.root_q, state.joint_q, state.vel,
+                     action.target_q, action.target_w)
+            if use_sel:
+                k, tmc, sel = out
+            else:
+                k, tmc, x_pts, sc_feats = out
             if action.root_force is not None:
                 tmc = tmc.at[..., 0:3].add(action.root_force)
             if action.root_torque is not None:
@@ -382,18 +557,27 @@ def substep_presolve(model: PhysicsModel, state: SimState, action: Action,
                 tmc = tmc + action.torque
             M = None
         elif lean:
-            k, c, x_pts, sc_feats = _fused_dynamics(model, lean=True)(
-                state.root_p, state.root_q, state.joint_q, state.vel)
+            fd = (_fused_dynamics_sel(model, ground_height, "lean")
+                  if use_sel else _fused_dynamics(model, lean=True))
+            out = fd(state.root_p, state.root_q, state.joint_q, state.vel)
+            if use_sel:
+                k, c, sel = out
+            else:
+                k, c, x_pts, sc_feats = out
             M = None
         else:
-            k, S, I_sp, V, c, x_pts, sc_feats = _fused_dynamics(model)(
-                state.root_p, state.root_q, state.joint_q, state.vel)
+            fd = (_fused_dynamics_sel(model, ground_height, "full")
+                  if use_sel else _fused_dynamics(model))
+            out = fd(state.root_p, state.root_q, state.joint_q, state.vel)
+            if use_sel:
+                k, S, I_sp, V, c, sel = out
+            else:
+                k, S, I_sp, V, c, x_pts, sc_feats = out
             from .dynamics import mass_matrix
             M = mass_matrix(model, S, I_sp)
     else:
         k = fk(model, state)
         S, M, c = dynamics_terms(model, state, k)
-        x_pts = None
     if Minv is None:
         M_hat = _damped_mass_matrix(model, M, dt)
         # NS cold inverse only for stable-PD: its implicit dt*kd diagonal
@@ -436,36 +620,53 @@ def substep_presolve(model: PhysicsModel, state: SimState, action: Action,
 
     # NOTE: dynamic obstacles now couple through the unified contact solve
     # (solve_ground_self) rather than an ad-hoc impulse exchange here.
-    return k, Minv, v_pred, obstacles, x_pts, sc_feats
+    return k, Minv, v_pred, obstacles, x_pts, sc_feats, sel
 
 
 def _assemble_char_contacts(model: PhysicsModel, k, ground_height=0.0,
-                            x_pts=None, sc_feats=None):
+                            x_pts=None, sc_feats=None, sel=None):
     """Ground + self-collision contact assembly: detection, top-K selection,
     Jacobian build.  Returns (J, cons, normals, mu, (oh_ground, oh_self))
     where the one-hots are the selection gather matrices the held-contact
     cadence reuses to refresh depths (oh_self is None without
-    self-collision)."""
+    self-collision).
+
+    sel: pre-selected contacts from the feature-major fused-selection
+    dispatch (substep_presolve want_sel path) — detection and selection
+    are then skipped and no one-hots are returned."""
     p = model.params
-    x = x_pts if x_pts is not None else \
-        contact_point_positions(model, k)[0]
-    depth = contacts_mod.detect_ground(model, x, ground_height)
-    cons, oh_g = contacts_mod.select_contacts_oh(model, x, depth)
+    if sel is not None:
+        gsel, ssel = sel
+        cons = contacts_mod.Contacts(
+            pos=gsel.pos, depth=gsel.depth, active=gsel.depth > 0.0,
+            body=gsel.body, point_idx=gsel.point_idx)
+        oh_g = oh_s = None
+    else:
+        x = x_pts if x_pts is not None else \
+            contact_point_positions(model, k)[0]
+        depth = contacts_mod.detect_ground(model, x, ground_height)
+        cons, oh_g = contacts_mod.select_contacts_oh(model, x, depth)
+        oh_s = None
     J = contacts_mod.contact_jacobian(model, k, cons)
     normals = jnp.broadcast_to(jnp.asarray(model.v_up_env, J.dtype),
                                cons.depth.shape + (3,))
     mu = jnp.full(cons.depth.shape, p.mu)
-    oh_s = None
     if p.self_collision and model.self_pairs.shape[0] > 0:
         # capsule-capsule self contacts join the same impulse solve;
         # the narrow phase comes from the fused dynamics kernel when
         # available (sc_feats), with only the top-K2 selection in XLA
         from .self_collision import (pair_jacobian, self_pair_features,
                                      select_self_contacts_oh)
-        if sc_feats is None:
-            sc_feats = self_pair_features(model, k)
-        (sp, sn, sd, bi, bj), oh_s = select_self_contacts_oh(
-            model, *sc_feats)
+        if sel is not None and sel[1] is not None:
+            _, ssel = sel
+            sp, sn, sd = ssel.pos, ssel.normal, ssel.depth
+            bi, bj = ssel.body_i, ssel.body_j
+        else:
+            # sel without ssel: fuse_self_narrow off — XLA narrow phase
+            if sc_feats is None:
+                sc_feats = self_pair_features(model, k)
+            (sp, sn, sd, bi, bj), oh_s = select_self_contacts_oh(
+                model, *sc_feats)
         Js = pair_jacobian(model, k, sp, bi, bj)
         J = jnp.concatenate([J, Js], axis=-3)
         normals = jnp.concatenate([normals, sn], axis=-2)
@@ -512,9 +713,9 @@ def _substep_held_first(model: PhysicsModel, state: SimState, action: Action,
     detection + selection + operator build; returns the HeldContacts the
     following warm substeps reuse.  (state', Minv, lam, held)."""
     dt = model.params.dt_sim
-    k, Minv, v_pred, _, x_pts, sc_feats = substep_presolve(
+    k, Minv, v_pred, _, x_pts, sc_feats, _ = substep_presolve(
         model, state, action, Minv, ground_height, None,
-        refine_iters, refine_bf16)
+        refine_iters, refine_bf16, want_sel=False)
     J, cons, normals, mu, (oh_g, oh_s) = _assemble_char_contacts(
         model, k, ground_height, x_pts, sc_feats)
     op = contacts_mod.build_operator(model, Minv, J, v_pred.dtype,
@@ -550,8 +751,9 @@ def _substep_held_warm(model: PhysicsModel, state: SimState, action: Action,
     operator, and the cone bases stay 1/fps_con-stale at most (the same
     staleness contract as the held mass inverse).  (state', lam)."""
     dt = model.params.dt_sim
-    k, _, v_pred, _, x_pts, sc_feats = substep_presolve(
-        model, state, action, Minv, ground_height, None, refine_iters=0)
+    k, _, v_pred, _, x_pts, sc_feats, _ = substep_presolve(
+        model, state, action, Minv, ground_height, None, refine_iters=0,
+        want_sel=False)
     x = x_pts if x_pts is not None else \
         contact_point_positions(model, k)[0]
     depth_all = contacts_mod.detect_ground(model, x, ground_height)
@@ -588,11 +790,11 @@ def _substep_mf_first(model: PhysicsModel, state: SimState, action: Action,
     assembly + cold APGD, PLUS the per-contact Gershgorin step sizes the
     matrix-free warm substeps carry.  Returns (state', Minv, lam, invL)."""
     dt = model.params.dt_sim
-    k, Minv, v_pred, _, x_pts, sc_feats = substep_presolve(
+    k, Minv, v_pred, _, x_pts, sc_feats, sel = substep_presolve(
         model, state, action, Minv0, ground_height, None,
         refine_iters, refine_bf16)
     J, cons, normals, mu, _ = _assemble_char_contacts(
-        model, k, ground_height, x_pts, sc_feats)
+        model, k, ground_height, x_pts, sc_feats, sel=sel)
     op = contacts_mod.build_operator(model, Minv, J, v_pred.dtype,
                                      normals=normals, mu=mu)
     # 0.9 safety margin: the operator drifts over the next 15 substeps,
@@ -611,10 +813,10 @@ def _substep_mf_warm(model: PhysicsModel, state: SimState, action: Action,
     selection, Jacobian, and M^-1 action every substep — the Delassus
     operator is just never materialized.  (state', lam)."""
     dt = model.params.dt_sim
-    k, _, v_pred, _, x_pts, sc_feats = substep_presolve(
+    k, _, v_pred, _, x_pts, sc_feats, sel = substep_presolve(
         model, state, action, Minv, ground_height, None, refine_iters=0)
     J, cons, normals, mu, _ = _assemble_char_contacts(
-        model, k, ground_height, x_pts, sc_feats)
+        model, k, ground_height, x_pts, sc_feats, sel=sel)
     dv, lam = contacts_mod.solve_contacts_mf(
         model, Minv, J, v_pred, cons.depth, cons.active, dt,
         lam_warm, invL, normals, mu)
@@ -638,7 +840,7 @@ def _mf_warm_scan(model: PhysicsModel, state: SimState, action: Action,
 
 def solve_ground_self(model: PhysicsModel, k, Minv, v_pred,
                       ground_height=0.0, lam_warm=None, obstacles=None,
-                      x_pts=None, sc_feats=None):
+                      x_pts=None, sc_feats=None, sel=None):
     """Ground + self-collision (+ dynamic obstacle) contact assembly and
     ONE unified APGD solve on the predicted velocity.
 
@@ -652,10 +854,15 @@ def solve_ground_self(model: PhysicsModel, k, Minv, v_pred,
     p = model.params
     dt = p.dt_sim
 
-    x = x_pts if x_pts is not None else \
-        contact_point_positions(model, k)[0]
-    J, cons, normals, mu, _ = _assemble_char_contacts(
-        model, k, ground_height, x, sc_feats)
+    if sel is not None:
+        x = None
+        J, cons, normals, mu, _ = _assemble_char_contacts(
+            model, k, ground_height, sel=sel)
+    else:
+        x = x_pts if x_pts is not None else \
+            contact_point_positions(model, k)[0]
+        J, cons, normals, mu, _ = _assemble_char_contacts(
+            model, k, ground_height, x, sc_feats)
 
     extra_inv_mass = vc_offset = None
     n_char_rows = cons.depth.shape[-1]
@@ -720,7 +927,7 @@ def substep(model: PhysicsModel, state: SimState, action: Action,
     393-407).  lam_warm: previous substep's contact impulses (warm start).
     Returns (state, Minv, obstacles, lam).
     """
-    k, Minv, v_pred, obstacles, x_pts, sc_feats = substep_presolve(
+    k, Minv, v_pred, obstacles, x_pts, sc_feats, sel = substep_presolve(
         model, state, action, Minv, ground_height, obstacles,
         refine_iters, refine_bf16)
     if obstacles is not None:
@@ -735,7 +942,7 @@ def substep(model: PhysicsModel, state: SimState, action: Action,
     else:
         dv, lam = solve_ground_self(model, k, Minv, v_pred, ground_height,
                                     lam_warm, x_pts=x_pts,
-                                    sc_feats=sc_feats)
+                                    sc_feats=sc_feats, sel=sel)
     new_state = integrate(model, state, v_pred + dv, model.params.dt_sim)
     return new_state, Minv, obstacles, lam
 

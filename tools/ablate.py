@@ -84,6 +84,9 @@ def main():
         # r4 in-kernel self-collision narrow phase (default-on);
         # xla_self_narrow is the A/B control (XLA narrow phase)
         ("xla_self_narrow", {"fuse_self_narrow": False}, args.batch),
+        # r4 feature-major contact selection (default-on, bit-identical
+        # selections); bm_selection is the A/B control
+        ("bm_selection", {"fuse_selection": False}, args.batch),
         # r4 held contact operator (rebuild cadence in substeps); A/B vs
         # baseline, chaos gate: tools/compare_hold_contacts.py
         ("hold_e2", {"hold_contacts": True, "hold_contacts_every": 2},
