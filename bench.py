@@ -42,6 +42,10 @@ def main():
     ap.add_argument("--project-dir", type=str, default="/root/reference")
     ap.add_argument("--no-kernels", action="store_true",
                     help="force the XLA path (skip the Pallas kernels)")
+    ap.add_argument("--override", action="append", default=[],
+                    help="SimParams override for A/B runs, e.g. "
+                         "--override hold_contacts=True (repeatable; "
+                         "never changes defaults)")
     args = ap.parse_args()
 
     # A kernel regression must degrade the number, never zero the round
@@ -68,6 +72,16 @@ def run_bench(args, force_xla=False):
 
     t_start = time.perf_counter()
     env = make_env(args.spec, project_dir=args.project_dir)
+    if args.override:
+        import ast
+        import dataclasses
+        ov = {}
+        for item in args.override:
+            k, v = item.split("=", 1)
+            ov[k] = ast.literal_eval(v)
+        env.model = dataclasses.replace(
+            env.model, params=dataclasses.replace(env.model.params, **ov))
+        log(f"[bench] overrides: {ov}")
     log(f"[bench] env built ({time.perf_counter()-t_start:.0f}s)")
 
     B = args.batch
