@@ -88,6 +88,7 @@ class SelfSel(NamedTuple):
     depth: jnp.ndarray      # (...,K2)
     body_i: jnp.ndarray     # (...,K2) int32
     body_j: jnp.ndarray     # (...,K2) int32
+    pair_idx: jnp.ndarray   # (...,K2) int32 index into the static pair list
 
 
 def detect_ground_fm(model: PhysicsModel, x_fm, ground=0.0):

@@ -75,6 +75,12 @@ class SimParams:
     # Carry the refined inverse across control steps (ImitationEnv seeds
     # resets from a per-frame motion-DB table; see control_step_carry).
     carry_minv: bool = True
+    # f32 Newton–Schulz refinements applied to the carried/table seed on
+    # the first substep of each control step (control_step_carry).  The
+    # r5 trace puts these matmuls at ~13% of device time; same-episode
+    # seeds are only 1/fps_con stale and converge in fewer iterations
+    # than the worst-case table seed.
+    seed_refine_iters: int = 3
     use_pallas_fk: bool = False  # route batched FK through the Pallas kernel
     # VMEM-resident Pallas APGD: A read once per substep instead of every
     # iteration (ops/apgd_kernel.py).  In-context A/B at B=2048: +11%
@@ -136,6 +142,24 @@ class SimParams:
     # control step's rebuild substep.  Applies under the held-inverse
     # preconditions without dynamic obstacles (step._mf_ok).
     use_mf_apgd: bool = False
+    # Held contact SELECTION + matrix-free warm solve: hold only the
+    # top-K selection INDICES (which candidate point / self pair occupies
+    # which contact slot) for hold_selection_every substeps, while every
+    # physical quantity — positions, depths, normals, Jacobian, M^-1
+    # action — is rebuilt fresh from the current state each substep.
+    # Pinning slot identity is what the two r4-rejected cadences lacked:
+    # it keeps the carried per-slot Gershgorin step sizes of the
+    # matrix-free APGD kernel valid (the pure-MF path failed its chaos
+    # gate 8.84x because top-K reordering misassigned them,
+    # docs/PERF_r4.md) and deletes the per-substep ranking, while fresh
+    # geometry avoids the held-operator divergence (8.5-11.5x).  The only
+    # approximation left: a NEW deepest contact can be missed for at most
+    # hold_selection_every-1 substeps (<= 6 ms).  Applies under the
+    # held-inverse preconditions without dynamic obstacles
+    # (step._hsel_ok); takes precedence over hold_contacts/use_mf_apgd.
+    hold_selection: bool = False
+    # Selection rebuild cadence in substeps; must divide num_substeps.
+    hold_selection_every: int = 4
     # Operator rebuild cadence in substeps: a full hold across all 16
     # substeps (cadence 16) exceeds the intrinsic chaos rate on the
     # contact-rich gate (tools/compare_hold_contacts.py: 11.8x), so the

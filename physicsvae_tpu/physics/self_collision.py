@@ -140,7 +140,7 @@ def select_self_contacts(model: PhysicsModel, pos, normal, depth):
     """Deepest K2 of the pair features (ranking-matmul top-K + coalesced
     one-hot gathers).  Returns (pos, normal, depth, body_i, body_j)."""
     sel, _ = select_self_contacts_oh(model, pos, normal, depth)
-    return sel
+    return sel[:5]
 
 
 def select_self_contacts_oh(model: PhysicsModel, pos, normal, depth):
@@ -166,7 +166,7 @@ def select_self_contacts_oh(model: PhysicsModel, pos, normal, depth):
                       bi.astype(jnp.float32)).astype(jnp.int32)
     bj_s = jnp.einsum("...kp,p->...k", oh,
                       bj.astype(jnp.float32)).astype(jnp.int32)
-    return (sel[..., 0:3], sel[..., 3:6], dd, bi_s, bj_s), oh
+    return (sel[..., 0:3], sel[..., 3:6], dd, bi_s, bj_s, idx), oh
 
 
 def select_self_contacts_fm(model: PhysicsModel, sc_fm):
@@ -192,7 +192,7 @@ def select_self_contacts_fm(model: PhysicsModel, sc_fm):
     depth = rsum[:, None] - m[0]                          # (P,B)
 
     K2 = model.params.num_self_contacts
-    dd, _, oh = topk_rank_2stage_fm(depth, K2)            # (K2,B)/(K2,P,B)
+    dd, idx, oh = topk_rank_2stage_fm(depth, K2)          # (K2,B)/(K2,P,B)
     feats = m[1:7]                                        # (6,P,B)
     sel = jnp.sum(oh[:, None, :, :] * feats[None], axis=2)  # (K2,6,B)
     bi_f = jnp.asarray(pairs[:, 0], jnp.float32)[None, :, None]
@@ -200,7 +200,7 @@ def select_self_contacts_fm(model: PhysicsModel, sc_fm):
     bi_s = jnp.sum(oh * bi_f, axis=1).astype(jnp.int32)   # (K2,B)
     bj_s = jnp.sum(oh * bj_f, axis=1).astype(jnp.int32)
     return SelfSel(pos=sel[:, 0:3], normal=sel[:, 3:6], depth=dd,
-                   body_i=bi_s, body_j=bj_s)
+                   body_i=bi_s, body_j=bj_s, pair_idx=idx)
 
 
 def detect_self_contacts(model: PhysicsModel, k_fk):

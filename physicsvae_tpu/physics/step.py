@@ -404,9 +404,9 @@ def _fused_dynamics_sel(model: PhysicsModel, ground, mode: str):
         ssel = None
         if fuse_self:
             from .self_collision import select_self_contacts_oh
-            (sp, sn, sd, bi, bj), _ = select_self_contacts_oh(model, *sc)
+            (sp, sn, sd, bi, bj, si), _ = select_self_contacts_oh(model, *sc)
             ssel = SelfSel(pos=sp, normal=sn, depth=sd, body_i=bi,
-                           body_j=bj)
+                           body_j=bj, pair_idx=si)
         return gsel, ssel
 
     def _fallback_tail(state, k):
@@ -464,7 +464,7 @@ def _fused_dynamics_sel(model: PhysicsModel, ground, mode: str):
             ssel = SelfSel(pos=jnp.transpose(s.pos, (2, 0, 1)),
                            normal=jnp.transpose(s.normal, (2, 0, 1)),
                            depth=s.depth.T, body_i=s.body_i.T,
-                           body_j=s.body_j.T)
+                           body_j=s.body_j.T, pair_idx=s.pair_idx.T)
         return gsel, ssel
 
     from ..ops.dyn_kernel import (_fm_inputs, _sel_raw_outputs,
@@ -501,6 +501,168 @@ def _fused_dynamics_sel(model: PhysicsModel, ground, mode: str):
             k, S, I_sp, V, c, x_fm, sc_fm = _sel_raw_outputs(
                 model, state, lean=False)
             out = (k, S, I_sp, V, c, _sel_fm_rule(x_fm, sc_fm))
+            return out, jax.tree.map(lambda _: True, out)
+
+    _FUSED_DYN_CACHE[key] = _f
+    return _f
+
+
+class HeldSelection(NamedTuple):
+    """Held contact-selection state for the warm substeps of one control
+    step (SimParams.hold_selection): only the top-K slot IDENTITY is
+    pinned — which candidate point / self-collision pair occupies which
+    contact slot — plus the per-slot APGD step sizes it validates.  All
+    physical quantities (positions, depths, normals, Jacobian, M^-1) are
+    rebuilt fresh from the current state every substep."""
+    g_idx: jnp.ndarray            # (...,K) int32 candidate-point index
+    g_body: jnp.ndarray           # (...,K) int32
+    s_idx: Optional[jnp.ndarray]  # (...,K2) int32 pair index or None
+    s_bi: Optional[jnp.ndarray]   # (...,K2) int32
+    s_bj: Optional[jnp.ndarray]   # (...,K2) int32
+    invL: jnp.ndarray             # (...,K+K2) carried Gershgorin steps
+
+
+def _fused_dynamics_hsel(model: PhysicsModel, ground, with_self: bool):
+    """custom_vmap dispatch for held-selection warm substeps: the fused
+    lean+SPD kernel runs as usual, and the held slots are refreshed by
+    IN-RULE feature-major one-hot gathers built on the fly from the held
+    indices (no ranking, no (B,P,·) candidate relayout).  Everything
+    gathered — positions, depths, self normals — is fresh; only WHICH
+    rows are gathered is held.
+
+    Returns (k_lean, tmc, gpos (B,K,3), gdepth (B,K)[, spos, snorm,
+    sdepth])."""
+    key = (id(model), "hsel", with_self, _ground_key(ground))
+    if key in _FUSED_DYN_CACHE:
+        return _FUSED_DYN_CACHE[key]
+
+    import dataclasses as _dc
+
+    from jax import custom_batching
+
+    from .contacts import detect_ground, detect_ground_fm
+    from .dynamics import dynamics_terms_split
+    from .fk import _fk_xla
+
+    import numpy as _np
+
+    K = model.params.num_contacts
+    if with_self:
+        pairs = _np.asarray(model.self_pairs)
+        P_ = pairs.shape[0]
+        cap_r = _np.asarray(model.cap_r)
+        rsum_np = (cap_r[pairs[:, 0]] + cap_r[pairs[:, 1]]).astype(
+            _np.float32)
+
+    if with_self:
+        @custom_batching.custom_vmap
+        def _f(root_p, root_q, joint_q, vel, target_q, target_w,
+               g_idx, s_idx):
+            state = SimState(root_p, root_q, joint_q, vel)
+            k = _fk_xla(model, state)
+            S, I_sp, V, c = dynamics_terms_split(model, state, k)
+            tau = spd_torque(model, state,
+                             Action(target_q=target_q, target_w=target_w),
+                             model.params.dt_sim)
+            x, _ = contact_point_positions(model, k)
+            depth = detect_ground(model, x, ground)
+            NP_ = depth.shape[-1]
+            ohg = (g_idx[..., None] == jnp.arange(NP_)).astype(x.dtype)
+            gpos = jnp.einsum("...kp,...pf->...kf", ohg, x)
+            gdepth = jnp.einsum("...kp,...p->...k", ohg, depth)
+            from .self_collision import self_pair_features
+            sp_, sn_, sd_ = self_pair_features(model, k)
+            ohs = (s_idx[..., None] == jnp.arange(sd_.shape[-1])).astype(
+                x.dtype)
+            feats = jnp.concatenate([sp_, sn_], axis=-1)
+            s = jnp.einsum("...kp,...pf->...kf", ohs, feats)
+            sdepth = jnp.einsum("...kp,...p->...k", ohs, sd_)
+            k = _dc.replace(k, body_com=None, body_w=None,
+                            body_vcom=None, body_vo=None)
+            return (k, tau - c, gpos, gdepth,
+                    s[..., 0:3], s[..., 3:6], sdepth)
+
+        @_f.def_vmap
+        def _rule(axis_size, in_batched, root_p, root_q, joint_q, vel,
+                  target_q, target_w, g_idx, s_idx):
+            from ..ops.dyn_kernel import _sel_raw_outputs
+            state = SimState(root_p, root_q, joint_q, vel)
+            target_q = jnp.broadcast_to(
+                target_q, (axis_size,) + target_q.shape[-2:]) \
+                if not in_batched[4] else target_q
+            target_w = jnp.broadcast_to(
+                target_w, (axis_size,) + target_w.shape[-2:]) \
+                if not in_batched[5] else target_w
+            k, tmc, x_fm, sc_fm = _sel_raw_outputs(
+                model, state, lean=True, target_q=target_q,
+                target_w=target_w)
+            B = x_fm.shape[-1]
+            NP_ = x_fm.shape[0] // 3
+            depth_fm = detect_ground_fm(model, x_fm, ground)   # (NP,B)
+            gi = g_idx.T                                       # (K,B)
+            iota_np = jax.lax.broadcasted_iota(jnp.int32, (1, NP_, 1), 1)
+            ohg = (gi[:, None, :] == iota_np).astype(jnp.float32)
+            xr = x_fm.reshape(NP_, 3, B)
+            gpos_fm = jnp.sum(ohg[:, :, None, :] * xr[None], axis=1)
+            gdep_fm = jnp.sum(ohg * depth_fm[None], axis=1)    # (K,B)
+            gpos = jnp.transpose(gpos_fm, (2, 0, 1))
+            gdepth = gdep_fm.T
+
+            m = sc_fm.reshape(7, P_, B)
+            sdep_all = jnp.asarray(rsum_np)[:, None] - m[0]    # (P,B)
+            si = s_idx.T                                       # (K2,B)
+            iota_p = jax.lax.broadcasted_iota(jnp.int32, (1, P_, 1), 1)
+            ohs = (si[:, None, :] == iota_p).astype(jnp.float32)
+            feats = m[1:7]                                     # (6,P,B)
+            ssel_fm = jnp.sum(ohs[:, None, :, :] * feats[None], axis=2)
+            spos = jnp.transpose(ssel_fm[:, 0:3], (2, 0, 1))
+            snorm = jnp.transpose(ssel_fm[:, 3:6], (2, 0, 1))
+            sdepth = jnp.sum(ohs * sdep_all[None], axis=1).T
+            out = (k, tmc, gpos, gdepth, spos, snorm, sdepth)
+            return out, jax.tree.map(lambda _: True, out)
+    else:
+        @custom_batching.custom_vmap
+        def _f(root_p, root_q, joint_q, vel, target_q, target_w, g_idx):
+            state = SimState(root_p, root_q, joint_q, vel)
+            k = _fk_xla(model, state)
+            S, I_sp, V, c = dynamics_terms_split(model, state, k)
+            tau = spd_torque(model, state,
+                             Action(target_q=target_q, target_w=target_w),
+                             model.params.dt_sim)
+            x, _ = contact_point_positions(model, k)
+            depth = detect_ground(model, x, ground)
+            NP_ = depth.shape[-1]
+            ohg = (g_idx[..., None] == jnp.arange(NP_)).astype(x.dtype)
+            gpos = jnp.einsum("...kp,...pf->...kf", ohg, x)
+            gdepth = jnp.einsum("...kp,...p->...k", ohg, depth)
+            k = _dc.replace(k, body_com=None, body_w=None,
+                            body_vcom=None, body_vo=None)
+            return k, tau - c, gpos, gdepth
+
+        @_f.def_vmap
+        def _rule(axis_size, in_batched, root_p, root_q, joint_q, vel,
+                  target_q, target_w, g_idx):
+            from ..ops.dyn_kernel import _sel_raw_outputs
+            state = SimState(root_p, root_q, joint_q, vel)
+            target_q = jnp.broadcast_to(
+                target_q, (axis_size,) + target_q.shape[-2:]) \
+                if not in_batched[4] else target_q
+            target_w = jnp.broadcast_to(
+                target_w, (axis_size,) + target_w.shape[-2:]) \
+                if not in_batched[5] else target_w
+            k, tmc, x_fm, sc_fm = _sel_raw_outputs(
+                model, state, lean=True, target_q=target_q,
+                target_w=target_w)
+            B = x_fm.shape[-1]
+            NP_ = x_fm.shape[0] // 3
+            depth_fm = detect_ground_fm(model, x_fm, ground)
+            gi = g_idx.T
+            iota_np = jax.lax.broadcasted_iota(jnp.int32, (1, NP_, 1), 1)
+            ohg = (gi[:, None, :] == iota_np).astype(jnp.float32)
+            xr = x_fm.reshape(NP_, 3, B)
+            gpos_fm = jnp.sum(ohg[:, :, None, :] * xr[None], axis=1)
+            gdep_fm = jnp.sum(ohg * depth_fm[None], axis=1)
+            out = (k, tmc, jnp.transpose(gpos_fm, (2, 0, 1)), gdep_fm.T)
             return out, jax.tree.map(lambda _: True, out)
 
     _FUSED_DYN_CACHE[key] = _f
@@ -665,7 +827,7 @@ def _assemble_char_contacts(model: PhysicsModel, k, ground_height=0.0,
             # sel without ssel: fuse_self_narrow off — XLA narrow phase
             if sc_feats is None:
                 sc_feats = self_pair_features(model, k)
-            (sp, sn, sd, bi, bj), oh_s = select_self_contacts_oh(
+            (sp, sn, sd, bi, bj, _), oh_s = select_self_contacts_oh(
                 model, *sc_feats)
         Js = pair_jacobian(model, k, sp, bi, bj)
         J = jnp.concatenate([J, Js], axis=-3)
@@ -788,12 +950,13 @@ def _substep_mf_first(model: PhysicsModel, state: SimState, action: Action,
                       refine_bf16=None):
     """Rebuild substep of a matrix-free control step: the usual dense
     assembly + cold APGD, PLUS the per-contact Gershgorin step sizes the
-    matrix-free warm substeps carry.  Returns (state', Minv, lam, invL)."""
+    matrix-free warm substeps carry (remapped by slot identity there).
+    Returns (state', Minv, lam, invL, slot_ids)."""
     dt = model.params.dt_sim
     k, Minv, v_pred, _, x_pts, sc_feats, sel = substep_presolve(
         model, state, action, Minv0, ground_height, None,
         refine_iters, refine_bf16)
-    J, cons, normals, mu, _ = _assemble_char_contacts(
+    J, cons, normals, mu, (oh_g, oh_s) = _assemble_char_contacts(
         model, k, ground_height, x_pts, sc_feats, sel=sel)
     op = contacts_mod.build_operator(model, Minv, J, v_pred.dtype,
                                      normals=normals, mu=mu)
@@ -804,38 +967,301 @@ def _substep_mf_first(model: PhysicsModel, state: SimState, action: Action,
     dv, lam = contacts_mod.solve_with_operator(
         model, op, v_pred, cons.depth, cons.active, dt)
     new_state = integrate(model, state, v_pred + dv, dt)
-    return new_state, Minv, lam, invL
+    ids = _slot_ids(model, sel, cons, oh_s)
+    return new_state, Minv, lam, invL, ids
+
+
+def _slot_ids(model: PhysicsModel, sel, cons, oh_s):
+    """Unified slot-identity vector for the contact rows: candidate index
+    for ground rows, NP + pair index for self rows (disjoint ranges)."""
+    NP_ = int(np.asarray(model.point_radius).shape[0])
+    if sel is not None:
+        gsel, ssel = sel
+        if ssel is not None:
+            return jnp.concatenate(
+                [gsel.point_idx, NP_ + ssel.pair_idx], axis=-1)
+        return gsel.point_idx
+    K = min(model.params.num_contacts, NP_)
+    ids = cons.point_idx[..., :K]
+    if oh_s is not None:
+        s_idx = jnp.argmax(oh_s, axis=-1).astype(jnp.int32)
+        ids = jnp.concatenate([ids, NP_ + s_idx], axis=-1)
+    return ids
+
+
+def _match_carry(ids_new, ids_prev, invL_prev, lam_prev):
+    """Remap the carried per-slot APGD state by CONTACT IDENTITY: slot k
+    of the fresh selection inherits the step size / warm-start impulse of
+    whichever previous slot held the same candidate/pair.  Unmatched new
+    slots (a contact that just appeared) start at lam=0 with the most
+    conservative carried step size — exactly the r4 failure mode of the
+    pure matrix-free path ('carried per-slot Gershgorin steps are
+    misassigned when top-K selection reorders slots', docs/PERF_r4.md)
+    repaired without holding the selection."""
+    f32 = invL_prev.dtype
+    Mm = (ids_new[..., :, None] == ids_prev[..., None, :]).astype(f32)
+    invL = jnp.einsum("...ko,...o->...k", Mm, invL_prev)
+    matched = jnp.sum(Mm, axis=-1)
+    safe = jnp.min(invL_prev, axis=-1, keepdims=True)
+    invL = jnp.where(matched > 0, invL, safe)
+    lam0 = jnp.einsum("...ko,...oi->...ki", Mm,
+                      lam_prev.astype(f32)).astype(lam_prev.dtype)
+    return invL, lam0
 
 
 def _substep_mf_warm(model: PhysicsModel, state: SimState, action: Action,
-                     Minv, invL, lam_warm, ground_height=0.0):
+                     Minv, invL, lam_warm, ids_prev, ground_height=0.0):
     """Warm substep with the matrix-free contact solve: fresh detection,
     selection, Jacobian, and M^-1 action every substep — the Delassus
-    operator is just never materialized.  (state', lam)."""
+    operator is just never materialized — with the carried per-slot state
+    (Gershgorin steps + warm-start impulses) remapped by contact
+    IDENTITY, so top-K slot reordering cannot misassign them.
+    (state', lam, invL', ids')."""
     dt = model.params.dt_sim
     k, _, v_pred, _, x_pts, sc_feats, sel = substep_presolve(
         model, state, action, Minv, ground_height, None, refine_iters=0)
-    J, cons, normals, mu, _ = _assemble_char_contacts(
+    J, cons, normals, mu, (oh_g, oh_s) = _assemble_char_contacts(
         model, k, ground_height, x_pts, sc_feats, sel=sel)
+    ids = _slot_ids(model, sel, cons, oh_s)
+    invL, lam0 = _match_carry(ids, ids_prev, invL, lam_warm)
     dv, lam = contacts_mod.solve_contacts_mf(
         model, Minv, J, v_pred, cons.depth, cons.active, dt,
-        lam_warm, invL, normals, mu)
+        lam0, invL, normals, mu)
+    new_state = integrate(model, state, v_pred + dv, dt)
+    return new_state, lam, invL, ids
+
+
+def _mf_warm_scan(model: PhysicsModel, state: SimState, action: Action,
+                  Minv, invL, lam, ids, ground_height, length):
+    """Scan `length` matrix-free warm substeps (Minv loop-invariant,
+    closed over; per-slot invL/lam/ids remapped by identity each
+    substep)."""
+    def body(carry, _):
+        st, lm, iL, idp = carry
+        st, lm, iL, idp = _substep_mf_warm(model, st, action, Minv, iL,
+                                           lm, idp, ground_height)
+        return (st, lm, iL, idp), None
+
+    (state, lam, invL, ids), _ = jax.lax.scan(
+        body, (state, lam, invL, ids), None, length=length)
+    return state, lam
+
+
+def _hsel_ok(model: PhysicsModel, obstacles) -> bool:
+    """Held-selection cadence preconditions: the held-inverse ones
+    (stable-PD, ns_refine_every=0), no dynamic obstacles (their rows
+    cross the contact margin within a couple of substeps), and a cadence
+    that tiles the substep count.  Takes precedence over hold_contacts
+    and use_mf_apgd in control_step."""
+    p = model.params
+    return (p.hold_selection and obstacles is None
+            and p.hold_selection_every >= 1
+            and p.num_substeps % p.hold_selection_every == 0
+            and _hold_inverse_ok(model))
+
+
+def _hsel_with_self(model: PhysicsModel) -> bool:
+    return (model.params.self_collision
+            and model.self_pairs.shape[0] > 0)
+
+
+def _hsel_fused_ok(model: PhysicsModel, ground_height) -> bool:
+    """Whether the held-selection warm substep can run the fused-kernel
+    feature-major gather dispatch (otherwise: XLA presolve + batch-major
+    gathers — same selections, no kernel)."""
+    from ..ops.dyn_kernel import _wants_self_fuse
+    p = model.params
+    return (p.use_fused_dynamics and kernels_on_tpu()
+            and p.fuse_warm_kernel and p.fuse_selection
+            and _ground_selable(ground_height)
+            and p.actuation == "spd"
+            and (not _hsel_with_self(model) or _wants_self_fuse(model)))
+
+
+def _held_sel_from(model: PhysicsModel, cons, sel, oh_s):
+    """HeldSelection indices/bodies from a rebuild substep's selection —
+    either the fused-selection `sel` tuple or the classic assembly's
+    concatenated `cons` + self one-hot."""
+    K = min(model.params.num_contacts, int(np.asarray(
+        model.point_radius).shape[0]))
+    if sel is not None:
+        gsel, ssel = sel
+        if ssel is not None:
+            return (gsel.point_idx, gsel.body, ssel.pair_idx,
+                    ssel.body_i, ssel.body_j)
+        return gsel.point_idx, gsel.body, None, None, None
+    g_idx = cons.point_idx[..., :K]
+    g_body = cons.body[..., :K]
+    if oh_s is None:
+        return g_idx, g_body, None, None, None
+    s_idx = jnp.argmax(oh_s, axis=-1).astype(jnp.int32)
+    pairs = jnp.asarray(model.self_pairs)
+    s_bi = pairs[s_idx, 0]
+    s_bj = pairs[s_idx, 1]
+    return g_idx, g_body, s_idx, s_bi, s_bj
+
+
+def _substep_hsel_first(model: PhysicsModel, state: SimState, action: Action,
+                        Minv, ground_height=0.0, refine_iters=None,
+                        refine_bf16=None, lam_warm=None):
+    """Selection-rebuild substep of a held-selection control step: the
+    ordinary dense assembly + APGD solve (fused feature-major selection
+    when available), PLUS the held slot identity and the per-slot
+    Gershgorin step sizes the warm substeps carry.
+    Returns (state', Minv, lam, HeldSelection)."""
+    dt = model.params.dt_sim
+    k, Minv, v_pred, _, x_pts, sc_feats, sel = substep_presolve(
+        model, state, action, Minv, ground_height, None,
+        refine_iters, refine_bf16)
+    J, cons, normals, mu, (oh_g, oh_s) = _assemble_char_contacts(
+        model, k, ground_height, x_pts, sc_feats, sel=sel)
+    op = contacts_mod.build_operator(model, Minv, J, v_pred.dtype,
+                                     normals=normals, mu=mu)
+    # 0.9 margin: the Jacobian (hence A's row sums) drifts over the next
+    # hold_selection_every-1 substeps; APGD needs step <= 1/L.
+    invL = 0.9 * contacts_mod.gershgorin_invL(op.A)
+    dv, lam = contacts_mod.solve_with_operator(
+        model, op, v_pred, cons.depth, cons.active, dt, lam_warm=lam_warm)
+    new_state = integrate(model, state, v_pred + dv, dt)
+    g_idx, g_body, s_idx, s_bi, s_bj = _held_sel_from(model, cons, sel,
+                                                      oh_s)
+    held = HeldSelection(g_idx=g_idx, g_body=g_body, s_idx=s_idx,
+                         s_bi=s_bi, s_bj=s_bj, invL=invL)
+    return new_state, Minv, lam, held
+
+
+def _substep_hsel_warm(model: PhysicsModel, state: SimState, action: Action,
+                       Minv, held: HeldSelection, lam_warm,
+                       ground_height=0.0):
+    """Warm substep with HELD SELECTION: positions, depths, normals, the
+    Jacobian, and the M^-1 action are all rebuilt fresh from the current
+    state — only WHICH candidate/pair occupies each slot is pinned, which
+    keeps the carried matrix-free APGD step sizes per-slot-valid and
+    deletes the top-K ranking.  (state', lam)."""
+    p = model.params
+    dt = p.dt_sim
+    with_self = _hsel_with_self(model)
+
+    if _hsel_fused_ok(model, ground_height):
+        fd = _fused_dynamics_hsel(model, ground_height, with_self)
+        if with_self:
+            (k, tmc, gpos, gdepth, spos, snorm, sdepth) = fd(
+                state.root_p, state.root_q, state.joint_q, state.vel,
+                action.target_q, action.target_w, held.g_idx, held.s_idx)
+        else:
+            k, tmc, gpos, gdepth = fd(
+                state.root_p, state.root_q, state.joint_q, state.vel,
+                action.target_q, action.target_w, held.g_idx)
+        if action.root_force is not None:
+            tmc = tmc.at[..., 0:3].add(action.root_force)
+        if action.root_torque is not None:
+            tmc = tmc.at[..., 3:6].add(action.root_torque)
+        if action.torque is not None:
+            tmc = tmc + action.torque
+        if p.matmul_bf16:
+            qdd = jnp.einsum("...ij,...j->...i",
+                             Minv.astype(jnp.bfloat16),
+                             tmc.astype(jnp.bfloat16),
+                             preferred_element_type=state.vel.dtype)
+        else:
+            qdd = jnp.einsum("...ij,...j->...i",
+                             Minv.astype(state.vel.dtype), tmc)
+        v_pred = state.vel + dt * qdd
+    else:
+        k, _, v_pred, _, x_pts, sc_feats, _ = substep_presolve(
+            model, state, action, Minv, ground_height, None,
+            refine_iters=0, want_sel=False)
+        x = x_pts if x_pts is not None else \
+            contact_point_positions(model, k)[0]
+        depth = contacts_mod.detect_ground(model, x, ground_height)
+        NP_ = depth.shape[-1]
+        ohg = (held.g_idx[..., None] == jnp.arange(NP_)).astype(x.dtype)
+        gpos = jnp.einsum("...kp,...pf->...kf", ohg, x)
+        gdepth = jnp.einsum("...kp,...p->...k", ohg, depth)
+        spos = snorm = sdepth = None
+        if with_self:
+            if sc_feats is None:
+                from .self_collision import self_pair_features
+                sc_feats = self_pair_features(model, k)
+            sp_, sn_, sd_ = sc_feats
+            ohs = (held.s_idx[..., None]
+                   == jnp.arange(sd_.shape[-1])).astype(x.dtype)
+            feats = jnp.concatenate([sp_, sn_], axis=-1)
+            s = jnp.einsum("...kp,...pf->...kf", ohs, feats)
+            spos, snorm = s[..., 0:3], s[..., 3:6]
+            sdepth = jnp.einsum("...kp,...p->...k", ohs, sd_)
+
+    gsel = contacts_mod.GroundSel(pos=gpos, depth=gdepth, body=held.g_body,
+                                  point_idx=held.g_idx)
+    ssel = None
+    if with_self:
+        ssel = contacts_mod.SelfSel(pos=spos, normal=snorm, depth=sdepth,
+                                    body_i=held.s_bi, body_j=held.s_bj,
+                                    pair_idx=held.s_idx)
+    J, cons, normals, mu, _ = _assemble_char_contacts(
+        model, k, ground_height, sel=(gsel, ssel))
+    if p.use_pallas_apgd and kernels_on_tpu():
+        dv, lam = contacts_mod.solve_contacts_mf(
+            model, Minv, J, v_pred, cons.depth, cons.active, dt,
+            lam_warm, held.invL, normals, mu)
+    else:
+        # No MF kernel on this backend: dense rebuild + warm solve (same
+        # fixed point; step sizes fresh instead of carried).
+        dv, lam = contacts_mod.solve_contacts(
+            model, Minv, J, v_pred, cons, dt, normals, mu,
+            lam_warm=lam_warm)
     new_state = integrate(model, state, v_pred + dv, dt)
     return new_state, lam
 
 
-def _mf_warm_scan(model: PhysicsModel, state: SimState, action: Action,
-                  Minv, invL, lam, ground_height, length):
-    """Scan `length` matrix-free warm substeps (Minv/invL loop-invariant,
-    closed over — never copied through the carry)."""
+def _hsel_warm_scan(model: PhysicsModel, state: SimState, action: Action,
+                    Minv, held: HeldSelection, lam, ground_height, length):
+    """Scan `length` held-selection warm substeps (Minv/held loop-
+    invariant, closed over)."""
+    if length <= 0:
+        return state, lam
+
     def body(carry, _):
         st, lm = carry
-        st, lm = _substep_mf_warm(model, st, action, Minv, invL, lm,
-                                  ground_height)
+        st, lm = _substep_hsel_warm(model, st, action, Minv, held, lm,
+                                    ground_height)
         return (st, lm), None
 
     (state, lam), _ = jax.lax.scan(body, (state, lam), None, length=length)
     return state, lam
+
+
+def _control_step_hsel(model: PhysicsModel, state: SimState, action: Action,
+                       Minv0, ground_height):
+    """Held-selection control step: rebuild selection every
+    hold_selection_every substeps, warm substeps in between.
+    Minv0 None -> cold inverse.  Returns (state, Minv)."""
+    every = model.params.hold_selection_every
+    n_blocks = model.params.num_substeps // every
+    if Minv0 is None:
+        state, Minv, lam, held = _substep_hsel_first(
+            model, state, action, None, ground_height)
+    else:
+        state, Minv, lam, held = _substep_hsel_first(
+            model, state, action, Minv0.astype(jnp.float32), ground_height,
+            refine_iters=model.params.seed_refine_iters, refine_bf16=False)
+    Minv = Minv.astype(jnp.bfloat16) if _bf16_inverse_ok(model) else Minv
+    state, lam = _hsel_warm_scan(model, state, action, Minv, held, lam,
+                                 ground_height, every - 1)
+
+    def block(carry, _):
+        st, lm = carry
+        st, _, lm, held_b = _substep_hsel_first(
+            model, st, action, Minv, ground_height, refine_iters=0,
+            lam_warm=lm)
+        st, lm = _hsel_warm_scan(model, st, action, Minv, held_b, lm,
+                                 ground_height, every - 1)
+        return (st, lm), None
+
+    if n_blocks > 1:
+        (state, _), _ = jax.lax.scan(block, (state, lam), None,
+                                     length=n_blocks - 1)
+    return state, Minv
 
 
 def solve_ground_self(model: PhysicsModel, k, Minv, v_pred,
@@ -957,6 +1383,11 @@ def control_step(model: PhysicsModel, state: SimState, action: Action,
     Returns the new SimState, or (SimState, ObstacleState) when an obstacle
     pool is passed.
     """
+    if _hsel_ok(model, obstacles):
+        state, _ = _control_step_hsel(model, state, action, None,
+                                      ground_height)
+        return state
+
     if _hold_contacts_ok(model, obstacles):
         every = model.params.hold_contacts_every
         n_blocks = model.params.num_substeps // every
@@ -982,12 +1413,12 @@ def control_step(model: PhysicsModel, state: SimState, action: Action,
         return state
 
     if _mf_ok(model, obstacles):
-        state, Minv, lam, invL = _substep_mf_first(
+        state, Minv, lam, invL, ids = _substep_mf_first(
             model, state, action, None, ground_height)
         Minv_w = Minv.astype(jnp.bfloat16) \
             if _bf16_inverse_ok(model) else Minv
         state, _ = _mf_warm_scan(model, state, action, Minv_w, invL, lam,
-                                 ground_height,
+                                 ids, ground_height,
                                  model.params.num_substeps - 1)
         return state
 
@@ -1033,7 +1464,7 @@ def control_step(model: PhysicsModel, state: SimState, action: Action,
 
 def control_step_carry(model: PhysicsModel, state: SimState, action: Action,
                        Minv0, ground_height=0.0, obstacles=None,
-                       seed_refine_iters: int = 3):
+                       seed_refine_iters: Optional[int] = None):
     """control_step with a CARRIED inverse: no cold factorization at all.
 
     Minv0 is a seed inverse of the damped mass matrix — either last control
@@ -1049,6 +1480,13 @@ def control_step_carry(model: PhysicsModel, state: SimState, action: Action,
     seed (plain tracking, fidelity fixtures, non-spd modes) should use
     control_step, which cold-starts.
     """
+    if seed_refine_iters is None:
+        seed_refine_iters = model.params.seed_refine_iters
+    if _hsel_ok(model, obstacles):
+        state, Minv = _control_step_hsel(model, state, action, Minv0,
+                                         ground_height)
+        return state, Minv, None
+
     if _hold_contacts_ok(model, obstacles):
         every = model.params.hold_contacts_every
         n_blocks = model.params.num_substeps // every
@@ -1075,13 +1513,13 @@ def control_step_carry(model: PhysicsModel, state: SimState, action: Action,
         return state, Minv, None
 
     if _mf_ok(model, obstacles):
-        state, Minv, lam, invL = _substep_mf_first(
+        state, Minv, lam, invL, ids = _substep_mf_first(
             model, state, action, Minv0.astype(jnp.float32), ground_height,
             refine_iters=seed_refine_iters, refine_bf16=False)
         Minv = Minv.astype(jnp.bfloat16) \
             if _bf16_inverse_ok(model) else Minv
         state, _ = _mf_warm_scan(model, state, action, Minv, invL, lam,
-                                 ground_height,
+                                 ids, ground_height,
                                  model.params.num_substeps - 1)
         return state, Minv, None
 

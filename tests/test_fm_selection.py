@@ -101,7 +101,7 @@ def test_self_selection_fm_matches(model, batched_state):
         pytest.skip("model has no self-collision pairs")
     k = jax.vmap(lambda s: fk_mod.fk(model, s))(batched_state)
     pos, normal, depth = self_pair_features(model, k)
-    (sp, sn, sd, bi, bj), _ = jax.vmap(
+    (sp, sn, sd, bi, bj, si), _ = jax.vmap(
         lambda p, n, d: select_self_contacts_oh(model, p, n, d))(
             pos, normal, depth)
 
@@ -124,6 +124,7 @@ def test_self_selection_fm_matches(model, batched_state):
                        np.asarray(sp), atol=1e-6)
     assert np.allclose(np.asarray(jnp.transpose(s.normal, (2, 0, 1))),
                        np.asarray(sn), atol=1e-6)
+    assert np.array_equal(np.asarray(s.pair_idx.T), np.asarray(si))
 
 
 def test_sel_dispatch_fallback_matches_assembly(model, batched_state):
@@ -145,6 +146,6 @@ def test_sel_dispatch_fallback_matches_assembly(model, batched_state):
     assert np.array_equal(np.asarray(gsel.pos), np.asarray(cons.pos))
     if model.self_pairs.shape[0] > 0 and model.params.self_collision:
         sc = self_pair_features(model, k)
-        (sp, sn, sd, bi, bj), _ = select_self_contacts_oh(model, *sc)
+        (sp, sn, sd, bi, bj, si), _ = select_self_contacts_oh(model, *sc)
         assert np.array_equal(np.asarray(ssel.depth), np.asarray(sd))
         assert np.array_equal(np.asarray(ssel.body_i), np.asarray(bi))

@@ -30,6 +30,11 @@ def main():
     ap.add_argument("--every", type=int, default=None,
                     help="hold_contacts_every override (operator rebuild "
                          "cadence in substeps; default = SimParams default)")
+    ap.add_argument("--mode", type=str, default="hold_contacts",
+                    choices=["hold_contacts", "hold_selection", "mf"],
+                    help="which cadence/approximation to gate: held "
+                         "operator, held SELECTION (+ matrix-free warm "
+                         "solve on TPU), or pure matrix-free")
     ap.add_argument("--platform", type=str, default="default",
                     choices=["default", "cpu"],
                     help="cpu = safe to run while the TPU is busy")
@@ -65,10 +70,17 @@ def main():
             st.root_p, st.root_q, st.joint_q,
             jnp.asarray(rng.randn(B, model.nv).astype(np.float32)) * 0.3)
 
+    flag = {"hold_contacts": "hold_contacts",
+            "hold_selection": "hold_selection",
+            "mf": "use_mf_apgd"}[args.mode]
+    every_key = {"hold_contacts": "hold_contacts_every",
+                 "hold_selection": "hold_selection_every",
+                 "mf": None}[args.mode]
+
     def rollout(hold, vel_eps=0.0):
-        kw = {} if args.every is None else \
-            {"hold_contacts_every": args.every}
-        params = model_mod.SimParams(hold_contacts=hold, **kw)
+        kw = {} if args.every is None or every_key is None else \
+            {every_key: args.every}
+        params = model_mod.SimParams(**{flag: hold}, **kw)
         model = model_mod.load_loco_model(params=params)
         rng.seed(0)
         st = build_state(model)
@@ -92,7 +104,7 @@ def main():
         t0 = time.perf_counter()
         _, (ps, vs) = run(st)
         jax.block_until_ready(ps)
-        print(f"[hold_contacts={hold} eps={vel_eps}] "
+        print(f"[{flag}={hold} eps={vel_eps}] "
               f"{time.perf_counter()-t0:.1f}s", file=sys.stderr)
         return np.asarray(ps), np.asarray(vs)
 
