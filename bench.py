@@ -48,40 +48,68 @@ def main():
                          "never changes defaults)")
     args = ap.parse_args()
 
+    # Parse + validate overrides up front: a typo'd key or unparseable
+    # value must fail fast with an accurate message, not after a
+    # multi-minute env build (and never be misreported as a kernel-path
+    # failure by the fallback retry below).
+    overrides = parse_overrides(args.override)
+
     # A kernel regression must degrade the number, never zero the round
     # (VERDICT r3 weak #4): lowering failures are downgraded at model
     # build (ops/probe.py); anything that still escapes — a compile- or
     # run-time kernel failure — triggers one retry on the pure-XLA path.
     try:
-        out = run_bench(args, force_xla=args.no_kernels)
+        out = run_bench(args, overrides, force_xla=args.no_kernels)
     except Exception as e:
         log(f"[bench] kernel path failed ({type(e).__name__}: "
             f"{str(e)[:300]}); retrying on the XLA path")
         import jax as _jax
         _jax.clear_caches()
-        out = run_bench(args, force_xla=True)
+        out = run_bench(args, overrides, force_xla=True)
         out["note"] = "pallas kernels disabled (fallback)"
     print(json.dumps(out))
 
 
-def run_bench(args, force_xla=False):
+def parse_overrides(items):
+    """--override k=v list -> validated SimParams override dict."""
+    import ast
+    import dataclasses
+
+    from physicsvae_tpu.physics.model import SimParams
+
+    valid = {f.name for f in dataclasses.fields(SimParams)}
+    ov = {}
+    for item in items:
+        if "=" not in item:
+            raise SystemExit(f"--override needs key=value, got {item!r}")
+        k, v = item.split("=", 1)
+        if k not in valid:
+            raise SystemExit(f"--override: {k!r} is not a SimParams field")
+        try:
+            ov[k] = ast.literal_eval(v)
+        except (ValueError, SyntaxError) as e:
+            raise SystemExit(
+                f"--override {k}: cannot parse {v!r} ({e}); quote strings, "
+                f"e.g. actuation=\"'pd'\"")
+    return ov
+
+
+def run_bench(args, overrides, force_xla=False):
     from physicsvae_tpu.env import make_env
     from physicsvae_tpu.physics.step import force_xla_path
 
     force_xla_path(force_xla)
 
     t_start = time.perf_counter()
-    env = make_env(args.spec, project_dir=args.project_dir)
-    if args.override:
-        import ast
-        import dataclasses
-        ov = {}
-        for item in args.override:
-            k, v = item.split("=", 1)
-            ov[k] = ast.literal_eval(v)
-        env.model = dataclasses.replace(
-            env.model, params=dataclasses.replace(env.model.params, **ov))
-        log(f"[bench] overrides: {ov}")
+    # Overrides go through the build-time channel: several SimParams
+    # fields are consumed while building the model (joint_damping baked
+    # into per-dof damping arrays, fps_* feeding the minv seed table), so
+    # patching params after make_env would silently bench a config that
+    # was never built.
+    env = make_env(args.spec, project_dir=args.project_dir,
+                   physics_overrides=overrides or None)
+    if overrides:
+        log(f"[bench] overrides: {overrides}")
     log(f"[bench] env built ({time.perf_counter()-t_start:.0f}s)")
 
     B = args.batch
