@@ -31,7 +31,11 @@ def arg_parser():
     p.add_argument("--local_dir", type=str, default="./data/learning")
     p.add_argument("--num_envs", type=int, default=1024)
     p.add_argument("--num_iter", type=int, default=100)
-    p.add_argument("--rollout_length", type=int, default=128)
+    p.add_argument("--rollout_length", type=int, default=None,
+                   help="steps per env per PPO iteration; default derives "
+                        "train_batch_size/num_envs from the spec "
+                        "(rllib_driver.py:198-216 parity), falling back "
+                        "to 128")
     p.add_argument("--checkpoint_freq", type=int, default=50)
     p.add_argument("--output", type=str, default=None)
     p.add_argument("--num_episodes", type=int, default=3)
@@ -192,6 +196,22 @@ def build_custom_policy(args, spec: dict, env):
     return factory, label_fn, (model, variables, vcfg)
 
 
+def derive_rollout_length(cfg_d, num_envs, explicit=None):
+    """Spec-driven batch geometry (reference adjust_config,
+    rllib_driver.py:198-216): rollout_length = train_batch_size /
+    num_envs, so e.g. loco_imitation.yaml's train_batch_size: 100000
+    runs 100k-step iterations without CLI overrides.  An explicit
+    --rollout_length wins; without either, 128.  DDPPO specs carry
+    train_batch_size: -1 (learning happens in-worker,
+    rllib_driver.py:213-214) — also the fallback."""
+    if explicit is not None:
+        return int(explicit)
+    tbs = cfg_d.get("train_batch_size")
+    if tbs and int(tbs) > 0:
+        return max(int(tbs) // int(num_envs), 1)
+    return 128
+
+
 def mode_train(args):
     from .train.ppo import PPOConfig, PPOTrainer
     from .train.checkpoint import save_model
@@ -199,6 +219,8 @@ def mode_train(args):
     spec, env = build(args)
     cfg_d = spec.get("config", {})
     mcfg = cfg_d.get("model", {}).get("custom_model_config", {})
+    rollout_length = derive_rollout_length(cfg_d, args.num_envs,
+                                           args.rollout_length)
     cfg = PPOConfig(
         gamma=cfg_d.get("gamma", 0.98),
         lam=cfg_d.get("lambda", 0.95),
@@ -209,9 +231,11 @@ def mode_train(args):
         sgd_minibatch_size=cfg_d.get("sgd_minibatch_size", 500),
         horizon=cfg_d.get("horizon", 900),
         num_envs=args.num_envs,
-        rollout_length=args.rollout_length,
+        rollout_length=rollout_length,
         sample_std=mcfg.get("sample_std", 0.1),
         log_std_type=mcfg.get("log_std_type", "constant"),
+        kl_coeff=cfg_d.get("kl_coeff", 0.0),
+        kl_target=cfg_d.get("kl_target", 0.01),
     )
     factory, label_fn, _ = build_custom_policy(args, spec, env)
     tr = PPOTrainer(env, cfg, jax.random.PRNGKey(args.seed),

@@ -42,6 +42,12 @@ class PPOConfig:
     log_std_type: str = "constant"
     vf_loss_coeff: float = 1.0
     entropy_coeff: float = 0.0
+    # Adaptive-KL penalty (rllib PPO kl_coeff/kl_target; spec key at
+    # data/spec/loco/loco_imitation.yaml:15).  kl_coeff == 0 disables the
+    # term entirely (the loco specs ship 0.0) and skips storing the old
+    # distribution params in the rollout.
+    kl_coeff: float = 0.0
+    kl_target: float = 0.01
 
 
 def _fcnn_policy_factory(env, cfg: "PPOConfig", rng):
@@ -187,6 +193,10 @@ class PPOTrainer:
         self.rng = rng
         self.mesh_axis = mesh_axis
         self.timesteps_total = 0
+        # adaptive-KL state (rllib adapts the coefficient between
+        # iterations: x1.5 when mean KL > 2*target, x0.5 when < target/2)
+        self.adaptive_kl = cfg.kl_coeff > 0.0
+        self.kl_coeff = float(cfg.kl_coeff)
 
         self._rollout_jit = jax.jit(self.rollout)
         self._update_jit = jax.jit(self.update_epochs)
@@ -235,6 +245,8 @@ class PPOTrainer:
                        ep_return=info.get("episode_return", rew),
                        ep_length=info.get("episode_length",
                                           jnp.ones_like(rew)))
+            if self.adaptive_kl:
+                out["logits"] = logits  # old distribution params for KL
             if self.recurrent:
                 out["pstate"] = ps  # carry the policy SAW this step
                 # fresh (zero) state for lanes that just reset
@@ -260,7 +272,7 @@ class PPOTrainer:
 
     # -- update ---------------------------------------------------------
 
-    def _loss(self, params, batch, rng):
+    def _loss(self, params, batch, rng, kl_coeff=0.0):
         cfg = self.cfg
         if self.recurrent:
             # stored-state forward: restart from the recorded carry,
@@ -285,15 +297,32 @@ class PPOTrainer:
                                    axis=-1))
         total = (policy_loss + cfg.vf_loss_coeff * vf_loss
                  - cfg.entropy_coeff * entropy)
-        return total, dict(policy_loss=policy_loss, vf_loss=vf_loss,
-                           entropy=entropy)
+        metrics = dict(policy_loss=policy_loss, vf_loss=vf_loss,
+                       entropy=entropy)
+        if self.adaptive_kl:
+            # KL(old || new) of the diagonal Gaussians, as rllib's
+            # torch DiagGaussian.kl (rllib PPO adds kl_coeff * KL to the
+            # surrogate; spec kl_coeff/kl_target, loco_imitation.yaml:15)
+            A = self.env.dim_action
+            mu0 = batch["logits"][..., :A]
+            ls0 = batch["logits"][..., A:]
+            kl = jnp.sum(
+                (log_std - ls0)
+                + (jnp.exp(2 * ls0) + (mu0 - mean) ** 2)
+                / (2 * jnp.exp(2 * log_std)) - 0.5, axis=-1)
+            kl_mean = jnp.mean(kl)
+            total = total + kl_coeff * kl_mean
+            metrics["kl"] = kl_mean
+        return total, metrics
 
-    def update_epochs(self, params, opt_state, traj, rng):
+    def update_epochs(self, params, opt_state, traj, rng, kl_coeff=0.0):
         cfg = self.cfg
         T, B = traj["reward"].shape
         N = T * B
         keys = ("obs", "action", "logp", "value", "reward", "done",
                 "advantage", "return")
+        if self.adaptive_kl:
+            keys = keys + ("logits",)
         flat = {k: traj[k].reshape((N,) + traj[k].shape[2:]) for k in keys}
         if self.recurrent:
             flat["pstate"] = jax.tree.map(
@@ -323,7 +352,7 @@ class PPOTrainer:
                               if k2 == "pstate" else v[idx])
                          for k2, v in flat.items()}
                 (loss, metrics), grads = jax.value_and_grad(
-                    self._loss, has_aux=True)(params, batch, k_mb)
+                    self._loss, has_aux=True)(params, batch, k_mb, kl_coeff)
                 if self.mesh_axis:
                     grads = jax.lax.pmean(grads, self.mesh_axis)
                 updates, opt_state = self.tx.update(grads, opt_state, params)
@@ -354,9 +383,18 @@ class PPOTrainer:
             self.policy_state)
         self.rng, k2 = jax.random.split(self.rng)
         self.params, self.opt_state, _, metrics = self._update_jit(
-            self.params, self.opt_state, traj, k2)
+            self.params, self.opt_state, traj, k2,
+            jnp.asarray(self.kl_coeff, jnp.float32))
         self.timesteps_total += self.cfg.rollout_length * self.cfg.num_envs
         metrics = {k: float(v) for k, v in metrics.items()}
+        if self.adaptive_kl:
+            # rllib's update_kl rule between iterations
+            kl = metrics["kl"]
+            if kl > 2.0 * self.cfg.kl_target:
+                self.kl_coeff *= 1.5
+            elif kl < 0.5 * self.cfg.kl_target:
+                self.kl_coeff *= 0.5
+            metrics["kl_coeff"] = self.kl_coeff
         # rllib-comparable episode stats over episodes COMPLETED this rollout
         done = traj["done"]
         n_done = jnp.sum(done)
@@ -392,7 +430,8 @@ class PPOTrainer:
         cp.save(os.path.join(dirpath, "opt_state"),
                 jax.tree.map(jnp.asarray, self.opt_state), force=True)
         meta = {"timesteps_total": jnp.asarray(self.timesteps_total),
-                "rng": self.rng}
+                "rng": self.rng,
+                "kl_coeff": jnp.asarray(self.kl_coeff, jnp.float32)}
         cp.save(os.path.join(dirpath, "meta"), meta, force=True)
         return dirpath
 
@@ -409,6 +448,8 @@ class PPOTrainer:
         meta = cp.restore(os.path.join(dirpath, "meta"))
         self.timesteps_total = int(meta["timesteps_total"])
         self.rng = jnp.asarray(meta["rng"], dtype=jnp.uint32)
+        if "kl_coeff" in meta:
+            self.kl_coeff = float(meta["kl_coeff"])
         return self
 
     def train(self, num_iterations, log_fn=print):
