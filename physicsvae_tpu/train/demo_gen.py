@@ -72,6 +72,27 @@ def plan_lanes(lengths, clips, cfg: DemoGenConfig, fps_con: float,
             np.asarray(budgets, np.int64))
 
 
+_EP_KEYS = ("time", "state", "state_body", "state_task", "action",
+            "action_gt", "reward")
+
+
+def collect_episodes(traj, valid, fell):
+    """Lane trajectories -> episode list.  "Include only successful (not
+    falling) episodes": a lane still fallen after max_retries is SKIPPED
+    entirely (reference rllib_env_imitation.py:124-138) — keeping a
+    pre-fall prefix would contaminate the cVAE dataset with pre-fall
+    dynamics."""
+    episodes = []
+    for b in range(len(valid)):
+        if fell[b]:
+            continue
+        n = int(valid[b])
+        if n <= 0:
+            continue
+        episodes.append({k: list(traj[k][:n, b]) for k in _EP_KEYS})
+    return episodes
+
+
 def generate_demos(env: ImitationEnv, policy_fn, rng,
                    cfg: DemoGenConfig = DemoGenConfig(),
                    output_path: Optional[str] = None,
@@ -104,7 +125,11 @@ def generate_demos(env: ImitationEnv, policy_fn, rng,
                 st, rng = carry
                 rng, k1, k2 = jax.random.split(rng, 3)
                 obs = jax.vmap(env.observe)(st)
-                obs_body = jax.vmap(env.observe_body)(st)
+                # state_body is recorded with the CONFIGURED body type
+                # (reference state_body_custom(state_type),
+                # rllib_env_imitation.py:57-66,97), not the spec's
+                obs_body = jax.vmap(
+                    lambda s: env.observe_body(s, cfg.state_type))(st)
                 obs_task = jax.vmap(env.observe_task)(st)
                 a = policy_fn(obs, k1, True)
                 a_gt = policy_fn(obs, k2, False)
@@ -167,24 +192,11 @@ def generate_demos(env: ImitationEnv, policy_fn, rng,
                 valid[b], fell[b] = v2, f2
         retries += 1
 
-    episodes = []
-    for b in range(B):
-        if fell[b] and valid[b] < 10:
-            continue  # too many falldowns: skip window
-        n = int(valid[b])
-        if n <= 0:
-            continue
-        episodes.append({
-            "time": list(traj["time"][:n, b]),
-            "state": list(traj["state"][:n, b]),
-            "state_body": list(traj["state_body"][:n, b]),
-            "state_task": list(traj["state_task"][:n, b]),
-            "action": list(traj["action"][:n, b]),
-            "action_gt": list(traj["action_gt"][:n, b]),
-            "reward": list(traj["reward"][:n, b]),
-        })
+    episodes = collect_episodes(traj, valid, fell)
 
-    dims = {"state": env.dim_state, "state_body": env.dim_state_body,
+    from ..env import obs as obs_mod
+    dims = {"state": env.dim_state,
+            "state_body": obs_mod.body_state_dim(env.model, cfg.state_type),
             "state_task": env.dim_state_task, "action": env.dim_action}
     if output_path:
         save_demo_dataset(output_path, episodes, dims, cfg.exp_std,

@@ -89,3 +89,20 @@ def test_lane_order_is_clip_iter_window():
     # clip-major, then iteration, then window
     np.testing.assert_array_equal(clip, [0, 0, 0, 0, 1, 1, 1, 1])
     np.testing.assert_allclose(start, [0, 60, 0, 60, 0, 60, 0, 60])
+
+
+def test_fallen_windows_dropped_entirely():
+    """Reference parity (rllib_env_imitation.py:124-138): a window still
+    fallen after max_retries contributes NO episode, even if it has a
+    long pre-fall prefix."""
+    import numpy as np
+    from physicsvae_tpu.train.demo_gen import collect_episodes, _EP_KEYS
+
+    T, B = 30, 3
+    traj = {k: np.arange(T * B, dtype=np.float32).reshape(T, B)
+            for k in _EP_KEYS}
+    valid = np.asarray([25, 30, 0])
+    fell = np.asarray([True, False, False])  # lane 0: long prefix, fell
+    eps = collect_episodes(traj, valid, fell)
+    assert len(eps) == 1           # lane 0 dropped (fell), lane 2 empty
+    assert len(eps[0]["time"]) == 30
