@@ -157,9 +157,15 @@ class SimParams:
     # hold_selection_every-1 substeps (<= 6 ms).  Applies under the
     # held-inverse preconditions without dynamic obstacles
     # (step._hsel_ok); takes precedence over hold_contacts/use_mf_apgd.
-    hold_selection: bool = False
+    # Default-on since r5: +23% full env step (94.5k -> 116.7k at
+    # B=2048); local truncation gate at cadence 8: median ratio
+    # 1.04-1.05, p95 0.96-0.98, 0 extra divergences over two 256-state
+    # scramble ensembles (docs/PERF_r5.md).
+    hold_selection: bool = True
     # Selection rebuild cadence in substeps; must divide num_substeps.
-    hold_selection_every: int = 4
+    # 8 = two selection refreshes per control step; a NEW deepest
+    # contact is missed for at most 7 substeps (~15 ms).
+    hold_selection_every: int = 8
     # Operator rebuild cadence in substeps: a full hold across all 16
     # substeps (cadence 16) exceeds the intrinsic chaos rate on the
     # contact-rich gate (tools/compare_hold_contacts.py: 11.8x), so the

@@ -68,7 +68,7 @@ def _rollout(model, st, steps=4):
 def test_every1_matches_baseline():
     """Cadence 1 = rebuild every substep = the standard path exactly
     (selection, operator, and warm-start chains all coincide)."""
-    base = _loco()
+    base = _loco(hold_selection=False)
     hs1 = _loco(hold_selection=True, hold_selection_every=1)
     st = _scramble_state(base, B=8)
     p_b, v_b = _rollout(base, st, steps=3)
@@ -79,7 +79,7 @@ def test_every1_matches_baseline():
 
 
 def test_default_cadence_finite_and_close():
-    base = _loco()
+    base = _loco(hold_selection=False)
     hs = _loco(hold_selection=True)
     st = _scramble_state(base, B=8, seed=1)
     p_b, v_b = _rollout(base, st, steps=4)

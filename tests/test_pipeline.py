@@ -30,7 +30,12 @@ def test_generate_demos_and_train_vae(env, tmp_path):
             return mean + 0.05 * jax.random.normal(rng, mean.shape)
         return mean
 
-    cfg = DemoGenConfig(iter_per_episode=2, max_retries=1)
+    # Short windows: with reference falldown semantics (a window that
+    # falls after max_retries contributes NOTHING), the zero policy
+    # cannot survive the T-pose clip's full ~54-step window, but it
+    # stands through 0.3 s ones.
+    cfg = DemoGenConfig(iter_per_episode=2, max_retries=1,
+                        window_size=0.3, stride=0.3)
     out = str(tmp_path / "demos.pkl")
     data = generate_demos(env, policy_fn, jax.random.PRNGKey(0), cfg,
                           output_path=out)

@@ -80,6 +80,11 @@ def main():
     def rollout(hold, vel_eps=0.0):
         kw = {} if args.every is None or every_key is None else \
             {every_key: args.every}
+        # hold_selection is default-ON since r5 and takes precedence in
+        # control_step; the baseline and the non-hsel modes must disable
+        # it explicitly to exercise the path under test.
+        if flag != "hold_selection":
+            kw["hold_selection"] = False
         params = model_mod.SimParams(**{flag: hold}, **kw)
         model = model_mod.load_loco_model(params=params)
         rng.seed(0)

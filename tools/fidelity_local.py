@@ -47,13 +47,16 @@ REF_OVERRIDES = dict(
     apgd_iters=100, apgd_warm_iters=100, ns_refine_every=1, ns_iters=2,
     cold_inverse="chol", matmul_bf16=False, use_pallas_apgd=False,
     use_fused_dynamics=False, fuse_selection=False, fuse_self_narrow=False,
-    carry_minv=False,
+    carry_minv=False, hold_selection=False,
 )
 
+# "baseline" = the per-substep dense path (hold_selection became the
+# DEFAULT in r5, so it must be disabled explicitly here).
 VARIANTS = {
-    "baseline": {},
+    "baseline": dict(hold_selection=False),
     "hold_selection": dict(hold_selection=True),
-    "mf_matched": dict(use_mf_apgd=True),
+    "hold_selection_8": dict(hold_selection=True, hold_selection_every=8),
+    "mf_matched": dict(hold_selection=False, use_mf_apgd=True),
 }
 
 
