@@ -37,6 +37,13 @@ def arg_parser():
                         "(rllib_driver.py:198-216 parity), falling back "
                         "to 128")
     p.add_argument("--checkpoint_freq", type=int, default=50)
+    p.add_argument("--demo_window", type=float, default=1000.0,
+                   help="gen_expert_demo sliding-window size in seconds "
+                        "(reference window_size, rllib_env_imitation.py:53). "
+                        "With reference falldown semantics a window only "
+                        "counts if the expert survives ALL of it, so size "
+                        "it to the expert's survival horizon")
+    p.add_argument("--demo_stride", type=float, default=1000.0)
     p.add_argument("--output", type=str, default=None)
     p.add_argument("--num_episodes", type=int, default=3)
     p.add_argument("--seed", type=int, default=0)
@@ -406,7 +413,8 @@ def mode_gen_expert_demo(args):
 
     spec, env = build(args)
     policy, variables = _load_policy(args, env)
-    cfg = DemoGenConfig()
+    cfg = DemoGenConfig(window_size=args.demo_window,
+                        stride=args.demo_stride)
 
     def policy_fn(obs, rng, explore):
         import jax.numpy as jnp

@@ -10,6 +10,13 @@ if os.environ.get("PVAE_TEST_TPU") != "1":
         os.environ["XLA_FLAGS"] = (
             flags + " --xla_force_host_platform_device_count=8"
         ).strip()
+    # The CPU test suite gets its OWN persistent compilation cache:
+    # sharing .jax_cache with a concurrently-running TPU process
+    # (bench/training) segfaulted twice inside
+    # compilation_cache.put_executable_and_time during full-suite runs.
+    os.environ.setdefault("PHYSICSVAE_CACHE_DIR",
+                          os.path.join(os.path.dirname(__file__), "..",
+                                       ".jax_cache_cpu"))
 
 import jax  # noqa: E402
 

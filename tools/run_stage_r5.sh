@@ -23,13 +23,19 @@ mkdir -p "$VAE_DIR" "$FT_DIR"
 
 if [ ! -f "$DEMO" ]; then
   echo "=== stage 2': clean expert demos -> $DEMO ==="
+  # 15 s windows: with reference falldown semantics a window only counts
+  # if the expert survives ALL of it; the r3 expert's mean survival is
+  # ~20 s (episode_len_mean 606 @30 Hz), so full-58s windows yield ~3
+  # clean episodes while 15 s windows + <=10 retries yield the full
+  # 10x10x3 grid of clean ones (~135k pairs, r3-dataset scale).
   python -m physicsvae_tpu.driver --mode gen_expert_demo \
     --spec /root/reference/data/spec/loco/loco_imitation.yaml \
     --project_dir /root/reference \
+    --demo_window 15 --demo_stride 15 \
     --checkpoint "$EXPERT" --output "$DEMO" --seed 7
 fi
 
-CKPT=$(ls -d "$VAE_DIR"/r5_kl=${KL}_*/ckpt_final 2>/dev/null | head -1)
+CKPT=$(find "$VAE_DIR" -maxdepth 2 -name ckpt_final -path "*r5_kl=${KL}_*" | head -1)
 if [ -z "$CKPT" ]; then
   echo "=== stage 3': WM (300) + cVAE (500) on the clean dataset ==="
   python -m physicsvae_tpu.train_physics_vae \
@@ -38,8 +44,9 @@ if [ -z "$CKPT" ]; then
     --max_iter_world_model 300 --max_iter 800 \
     --vae_kl_coeff $KL --vae_kl_anneal_iters 100 --test_frac 0.02 \
     --name r5 --local_dir "$VAE_DIR" --checkpoint_freq 250
-  CKPT=$(ls -d "$VAE_DIR"/r5_kl=${KL}_*/ckpt_final | head -1)
+  CKPT=$(find "$VAE_DIR" -maxdepth 2 -name ckpt_final -path "*r5_kl=${KL}_*" | head -1)
 fi
+[ -n "$CKPT" ] && [ -d "$CKPT" ] || { echo "no cVAE ckpt found"; exit 1; }
 echo "cVAE checkpoint: $CKPT"
 
 echo "=== eval BEFORE fine-tune (batched evaluator) ==="
