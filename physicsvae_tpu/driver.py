@@ -243,6 +243,7 @@ def mode_train(args):
         log_std_type=mcfg.get("log_std_type", "constant"),
         kl_coeff=cfg_d.get("kl_coeff", 0.0),
         kl_target=cfg_d.get("kl_target", 0.01),
+        grad_clip=cfg_d.get("grad_clip"),
     )
     factory, label_fn, _ = build_custom_policy(args, spec, env)
     tr = PPOTrainer(env, cfg, jax.random.PRNGKey(args.seed),

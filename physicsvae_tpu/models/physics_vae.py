@@ -119,7 +119,15 @@ class PhysicsVAE(nn.Module):
         if c.latent_prior_type in ("normal_zero_mean_one_std",
                                    "normal_state_mean_one_std"):
             mu = z[..., :c.task_encoder_output_dim]
-            logvar = z[..., c.task_encoder_output_dim:]
+            # Bounded posterior variance: on out-of-distribution states
+            # (a degraded RL rollout lane pushes obs to ~1e4) an
+            # unbounded logvar head reaches ~+100, sigma ~ e^50, and one
+            # reparameterized z sample blows the decoder mean to ~1e20 —
+            # which NaN'd the first runtime fine-tune PPO epoch.  The
+            # clamp is inert in-distribution (trained logvar lives in
+            # [-10, 2]).
+            logvar = jnp.clip(z[..., c.task_encoder_output_dim:],
+                              -15.0, 4.0)
             if sample:
                 assert rng is not None
                 eps = jax.random.normal(rng, mu.shape)

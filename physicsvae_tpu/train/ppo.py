@@ -48,6 +48,15 @@ class PPOConfig:
     # distribution params in the rollout.
     kl_coeff: float = 0.0
     kl_target: float = 0.01
+    # Importance-ratio guard: clamp log(pi/pi_old) before exponentiation.
+    # Inert for deterministic-logits policies (|log ratio| << 20), but
+    # PhysicsVAE logits are STOCHASTIC (z reparameterized per forward,
+    # rllib_model_torch.py:734-740): with action std 0.05, a z-resample
+    # shift of the decoder mean makes log-ratios of O(100), and
+    # exp(+-inf) * negative advantage is unbounded below in the clipped
+    # surrogate -> first-iteration NaN (observed in the r5 runtime
+    # fine-tune).  20 keeps exp() finite while leaving gradients intact.
+    log_ratio_clip: float = 20.0
 
 
 def _fcnn_policy_factory(env, cfg: "PPOConfig", rng):
@@ -283,7 +292,10 @@ class PPOTrainer:
         else:
             logits, value = self.policy_forward(params, batch["obs"], rng)
         lp = log_prob(logits, self.env.dim_action, batch["action"])
-        ratio = jnp.exp(lp - batch["logp"])
+        dlp = lp - batch["logp"]
+        if cfg.log_ratio_clip:
+            dlp = jnp.clip(dlp, -cfg.log_ratio_clip, cfg.log_ratio_clip)
+        ratio = jnp.exp(dlp)
         adv = batch["advantage"]
         surr1 = ratio * adv
         surr2 = jnp.clip(ratio, 1 - cfg.clip_param, 1 + cfg.clip_param) * adv

@@ -42,6 +42,13 @@ def main():
     ap.add_argument("--rollout_length", type=int, default=32)
     ap.add_argument("--out", default="data/learning/r4_runtime_finetune")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--grad_clip", type=float, default=0.5)
+    ap.add_argument("--all_trainable", action="store_true",
+                    help="fine-tune every component (what the shipped "
+                         "reference runtime spec does — it sets no "
+                         "*_learnable flags, loco_runtime_physics_vae."
+                         "yaml:30-35); default freezes decoder+WM per "
+                         "rllib_model_torch.py:930-950")
     args = ap.parse_args()
 
     ckpt = args.ckpt
@@ -60,8 +67,12 @@ def main():
     # (data/pretrained/loco_modelV1.pt); the fine-tune spec points at the
     # real round-4 checkpoint instead, with decoder + world model frozen
     cmc["load_weights"] = ckpt
-    cmc["motor_decoder_learnable"] = False
-    cmc["world_model_learnable"] = False
+    if not args.all_trainable:
+        cmc["motor_decoder_learnable"] = False
+        cmc["world_model_learnable"] = False
+    # Stochastic-logits PPO needs bounded updates (see
+    # PPOConfig.log_ratio_clip); rllib-style gradient clipping on top.
+    spec["config"]["grad_clip"] = args.grad_clip
     spec_path = os.path.join(REPO, "data/spec/loco_runtime_finetune_r4.yaml")
     os.makedirs(os.path.dirname(spec_path), exist_ok=True)
     with open(spec_path, "w") as f:
@@ -97,9 +108,16 @@ def main():
     pre_full = load_model(ckpt, like_params=post)
 
     report = {"ckpt_pre": ckpt, "ckpt_post": final,
-              "num_iter": args.num_iter, "components": {}}
+              "num_iter": args.num_iter,
+              "all_trainable": bool(args.all_trainable),
+              "components": {}}
     ok = True
-    for comp, want_frozen in [("motor_decoder", True),
+    frz = not args.all_trainable
+    # The world model stays bit-identical EITHER way: even when
+    # trainable it receives zero gradient from the PPO loss (its output
+    # is not in the surrogate), and Adam applies no update to a
+    # zero-gradient leaf.
+    for comp, want_frozen in [("motor_decoder", frz),
                               ("world_model", True),
                               ("task_encoder", False)]:
         a = np.concatenate([np.asarray(x).ravel()
