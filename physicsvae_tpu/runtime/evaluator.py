@@ -75,7 +75,7 @@ class BatchedEvaluator:
 
     # -- batched rollout -------------------------------------------------
 
-    def _make_rollout(self, method, max_steps, n_lanes):
+    def _make_rollout(self, method, max_steps, n_lanes, rsi, add_noise):
         one = lambda st, rng, zf, uf, ex: self._one_step(
             method, st, rng, zf, uf, ex)
 
@@ -83,9 +83,16 @@ class BatchedEvaluator:
         def rollout(rng, ref_ids, start_times, z_fixed, use_fixed, explore):
             rngs = jax.random.split(rng, n_lanes + 1)
             rng = rngs[0]
-            st = jax.vmap(lambda r, c, s: self.env.reset(
-                r, ref_motion_id=c, start_time=s,
-                add_noise=False))(rngs[1:], ref_ids, start_times)
+            if rsi:
+                # EnvRunner.reset parity (random clip + uniform start +
+                # the spec's noise defaults) — the protocol behind the
+                # r4 mode_load eval numbers
+                st = jax.vmap(lambda r: self.env.reset(
+                    r, add_noise=add_noise))(rngs[1:])
+            else:
+                st = jax.vmap(lambda r, c, s: self.env.reset(
+                    r, ref_motion_id=c, start_time=s,
+                    add_noise=add_noise))(rngs[1:], ref_ids, start_times)
 
             def body(carry, _):
                 st, rng, done_l, rew_sum, length = carry
@@ -111,10 +118,13 @@ class BatchedEvaluator:
     def evaluate(self, rng, n_episodes: int, max_steps: int = 900,
                  method: str = "full", fixed_z=None,
                  ref_motion_ids=None, start_times=None,
-                 explore: bool = False):
+                 explore: bool = False, rsi: bool = False,
+                 add_noise: Optional[bool] = False):
         """Roll n_episodes lanes in one program.  fixed_z: (dz,) or
-        (n_episodes, dz) to pin pass_through's latent.  Returns a dict of
-        numpy per-lane stats + aggregates."""
+        (n_episodes, dz) to pin pass_through's latent.  rsi=True uses
+        random clip + uniform start time per lane (EnvRunner.reset
+        parity); add_noise=None defers to the spec's default.  Returns a
+        dict of numpy per-lane stats + aggregates."""
         assert method in ("full", "pass_through"), method
         dz = self.model.cfg.task_encoder_output_dim
         if fixed_z is None:
@@ -134,10 +144,11 @@ class BatchedEvaluator:
         else:
             start_times = jnp.asarray(start_times, jnp.float32)
 
-        key = (method, max_steps, n_episodes)
+        key = (method, max_steps, n_episodes, rsi, add_noise)
         if key not in self._rollouts:
             self._rollouts[key] = self._make_rollout(method, max_steps,
-                                                     n_episodes)
+                                                     n_episodes, rsi,
+                                                     add_noise)
         rew_sum, length, ended = self._rollouts[key](
             rng, ref_motion_ids, start_times, zf, uf,
             jnp.asarray(explore))

@@ -40,6 +40,11 @@ def main():
     ap.add_argument("--seed", type=int, default=11)
     ap.add_argument("--z_seeds", default="",
                     help="comma-separated fixed-z probe seeds")
+    ap.add_argument("--rsi", action="store_true",
+                    help="random clip + uniform start per lane with the "
+                         "spec's noise defaults — EnvRunner.reset parity "
+                         "(the protocol behind the r4 mode_load numbers); "
+                         "default: start_time=0, no noise")
     ap.add_argument("--label", default="")
     ap.add_argument("--out", default="")
     args = ap.parse_args()
@@ -70,12 +75,14 @@ def main():
     rng = jax.random.PRNGKey(args.seed)
     report = {"checkpoint": os.path.abspath(args.checkpoint),
               "label": args.label, "episodes": args.episodes,
-              "max_steps": args.max_steps, "seed": args.seed, "modes": {}}
+              "max_steps": args.max_steps, "seed": args.seed,
+              "rsi": bool(args.rsi), "modes": {}}
+    kw = dict(rsi=True, add_noise=None) if args.rsi else {}
 
     for method in ("full", "pass_through"):
         rng, k = jax.random.split(rng)
         t0 = time.perf_counter()
-        out = ev.evaluate(k, args.episodes, args.max_steps, method)
+        out = ev.evaluate(k, args.episodes, args.max_steps, method, **kw)
         wall = time.perf_counter() - t0
         row = {k2: (v.tolist() if isinstance(v, np.ndarray) else v)
                for k2, v in out.items()}
@@ -91,7 +98,7 @@ def main():
             z = jax.random.normal(jax.random.PRNGKey(int(zs)), (dz,))
             rng, k = jax.random.split(rng)
             out = ev.evaluate(k, args.episodes, args.max_steps,
-                              "pass_through", fixed_z=z)
+                              "pass_through", fixed_z=z, **kw)
             report["modes"][f"fixed_z_{zs}"] = {
                 k2: (v.tolist() if isinstance(v, np.ndarray) else v)
                 for k2, v in out.items()}
