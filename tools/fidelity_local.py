@@ -118,10 +118,70 @@ def one_control_step(overrides, st_np, B):
     return np.asarray(out.root_p), np.asarray(out.vel)
 
 
+def two_control_steps(overrides, st_np, B, carry_iters=None):
+    """TWO control steps from the scramble state; with carry_iters the
+    second step goes through control_step_carry seeded by the first's
+    33 ms-stale inverse with `seed_refine_iters=carry_iters` f32 NS
+    refinements — the exact env hot path (ImitationEnv.step_core).
+    Without carry_iters both steps cold-start (the converged-reference /
+    baseline shape)."""
+    from physicsvae_tpu.physics import model as model_mod
+    from physicsvae_tpu.physics import state as state_mod
+    from physicsvae_tpu.physics import step as step_mod
+    from physicsvae_tpu.physics.dynamics import dynamics_terms
+    from physicsvae_tpu.physics.fk import fk
+    from physicsvae_tpu.physics.linalg import spd_inverse
+
+    params = model_mod.SimParams(**overrides)
+    model = model_mod.load_loco_model(params=params)
+    st = state_mod.SimState(*[jnp.asarray(a) for a in st_np])
+    J = model.num_joints
+    act = step_mod.Action(
+        target_q=jnp.broadcast_to(jnp.asarray([0.0, 0, 0, 1.0]), (B, J, 4)),
+        target_w=jnp.zeros((B, J, 3)))
+
+    @jax.jit
+    def run(st):
+        if carry_iters is None:
+            s1 = jax.vmap(lambda s, a: step_mod.control_step(model, s, a))(
+                st, act)
+            s2 = jax.vmap(lambda s, a: step_mod.control_step(model, s, a))(
+                s1, act)
+            return s2
+
+        def seed(s):
+            k = fk(model, s)
+            _, M, _ = dynamics_terms(model, s, k)
+            return spd_inverse(step_mod._damped_mass_matrix(
+                model, M, model.params.dt_sim))
+
+        Minv0 = jax.vmap(seed)(st)
+        s1, Minv1, _ = jax.vmap(
+            lambda s, a, m: step_mod.control_step_carry(
+                model, s, a, m, seed_refine_iters=carry_iters))(
+                    st, act, Minv0)
+        s2, _, _ = jax.vmap(
+            lambda s, a, m: step_mod.control_step_carry(
+                model, s, a, m, seed_refine_iters=carry_iters))(
+                    s1, act, Minv1.astype(jnp.float32))
+        return s2
+
+    t0 = time.perf_counter()
+    out = run(st)
+    jax.block_until_ready(out.vel)
+    print(f"[carry={carry_iters} {overrides or 'default'}] "
+          f"{time.perf_counter()-t0:.0f}s", file=sys.stderr)
+    return np.asarray(out.root_p), np.asarray(out.vel)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--carry", action="store_true",
+                    help="gate the carried-inverse seed_refine_iters "
+                         "variants over TWO control steps instead of the "
+                         "cadence variants over one")
     ap.add_argument("--out", type=str, default="")
     args = ap.parse_args()
 
@@ -130,6 +190,18 @@ def main():
     st = build_states(model, args.batch, seed=args.seed)
     st_np = tuple(np.asarray(a) for a in
                   (st.root_p, st.root_q, st.joint_q, st.vel))
+
+    if args.carry:
+        p_ref, v_ref = two_control_steps(REF_OVERRIDES, st_np, args.batch)
+        results = {
+            "baseline": two_control_steps({}, st_np, args.batch),
+            "carry_sr3": two_control_steps({}, st_np, args.batch,
+                                           carry_iters=3),
+            "carry_sr2": two_control_steps({}, st_np, args.batch,
+                                           carry_iters=2),
+        }
+        gate_and_report(args, results, p_ref, v_ref)
+        return
 
     p_ref, v_ref = one_control_step(REF_OVERRIDES, st_np, args.batch)
 
@@ -143,7 +215,10 @@ def main():
     results = {}
     for name, over in VARIANTS.items():
         results[name] = one_control_step(over, st_np, args.batch)
+    gate_and_report(args, results, p_ref, v_ref)
 
+
+def gate_and_report(args, results, p_ref, v_ref):
     def finite_rows(pv):
         p, v = pv
         return (np.isfinite(p).all(axis=tuple(range(1, p.ndim)))
@@ -178,7 +253,7 @@ def main():
     report["gates"] = {}
     ok_all = True
     div_budget = max(2, int(0.02 * args.batch))
-    for name in VARIANTS:
+    for name in results:
         if name == "baseline":
             continue
         ev, n_div = errs[name]
