@@ -1232,19 +1232,21 @@ def _hsel_warm_scan(model: PhysicsModel, state: SimState, action: Action,
 
 
 def _control_step_hsel(model: PhysicsModel, state: SimState, action: Action,
-                       Minv0, ground_height):
+                       Minv0, ground_height, seed_refine_iters=None):
     """Held-selection control step: rebuild selection every
     hold_selection_every substeps, warm substeps in between.
     Minv0 None -> cold inverse.  Returns (state, Minv)."""
     every = model.params.hold_selection_every
     n_blocks = model.params.num_substeps // every
+    if seed_refine_iters is None:
+        seed_refine_iters = model.params.seed_refine_iters
     if Minv0 is None:
         state, Minv, lam, held = _substep_hsel_first(
             model, state, action, None, ground_height)
     else:
         state, Minv, lam, held = _substep_hsel_first(
             model, state, action, Minv0.astype(jnp.float32), ground_height,
-            refine_iters=model.params.seed_refine_iters, refine_bf16=False)
+            refine_iters=seed_refine_iters, refine_bf16=False)
     Minv = Minv.astype(jnp.bfloat16) if _bf16_inverse_ok(model) else Minv
     state, lam = _hsel_warm_scan(model, state, action, Minv, held, lam,
                                  ground_height, every - 1)
@@ -1484,7 +1486,8 @@ def control_step_carry(model: PhysicsModel, state: SimState, action: Action,
         seed_refine_iters = model.params.seed_refine_iters
     if _hsel_ok(model, obstacles):
         state, Minv = _control_step_hsel(model, state, action, Minv0,
-                                         ground_height)
+                                         ground_height,
+                                         seed_refine_iters=seed_refine_iters)
         return state, Minv, None
 
     if _hold_contacts_ok(model, obstacles):

@@ -60,6 +60,35 @@ VARIANTS = {
 }
 
 
+def build_physical_states(model, B, seed=0):
+    """PHYSICAL ensemble: poses + true finite-difference velocities
+    sampled from the loco reference clips at random times — the state
+    distribution the carried-inverse hot path actually sees (seeds are
+    1/fps_con stale along smooth motion; the NS self-healing guard stays
+    inactive, unlike on the scramble ensemble)."""
+    import glob
+
+    from physicsvae_tpu.kinematics import motion as motion_mod
+    from physicsvae_tpu.kinematics.char_info import load_char_info
+    from physicsvae_tpu.physics import state as state_mod
+
+    char = load_char_info(
+        "/root/reference/data/character/info/loco_char_info.py")
+    clips = sorted(glob.glob(
+        "/root/reference/data/motion/loco/random_loco_*.bvh"))[:3]
+    motions = [motion_mod.from_bvh_file(f, char) for f in clips]
+    rng = np.random.RandomState(seed)
+    sts = []
+    for b in range(B):
+        m = motions[b % len(motions)]
+        t = rng.uniform(0.5, (m.num_frames - 2) / m.fps - 0.5)
+        rp, rq, jq = motion_mod.pose_at_time(m, t)
+        rv, rw, jw = motion_mod.velocity_at_time(m, t)
+        sts.append(state_mod.from_pose(model, rp, rq, jq, rv, rw, jw))
+    st = jax.tree.map(lambda *x: jnp.stack(x), *sts)
+    return st
+
+
 def build_states(model, B, seed=0):
     """Contact-rich scramble ensemble: limbs near/into the ground with
     random velocities (same generator family as compare_hold_contacts)."""
@@ -182,12 +211,20 @@ def main():
                     help="gate the carried-inverse seed_refine_iters "
                          "variants over TWO control steps instead of the "
                          "cadence variants over one")
+    ap.add_argument("--physical", action="store_true",
+                    help="sample initial states from the loco clips with "
+                         "their true velocities instead of the contact "
+                         "scramble (the right ensemble for --carry: the "
+                         "scramble keeps the NS guard active, which hides "
+                         "the seed-iteration count)")
     ap.add_argument("--out", type=str, default="")
     args = ap.parse_args()
 
     from physicsvae_tpu.physics import model as model_mod
     model = model_mod.load_loco_model()
-    st = build_states(model, args.batch, seed=args.seed)
+    st = (build_physical_states(model, args.batch, seed=args.seed)
+          if args.physical else
+          build_states(model, args.batch, seed=args.seed))
     st_np = tuple(np.asarray(a) for a in
                   (st.root_p, st.root_q, st.joint_q, st.vel))
 
