@@ -79,8 +79,14 @@ class SimParams:
     # the first substep of each control step (control_step_carry).  The
     # r5 trace puts these matmuls at ~13% of device time; same-episode
     # seeds are only 1/fps_con stale and converge in fewer iterations
-    # than the worst-case table seed.
-    seed_refine_iters: int = 3
+    # than the worst-case table seed.  Default 2 since r5 (+6.4%,
+    # 117.1k -> 124.1k env steps/s at B=2048): on the physical tracking
+    # ensemble (clip states + clip-tracking SPD targets, the hot path's
+    # real distribution) two-control-step error vs a converged reference
+    # is ratio 0.94 median / 0.97 p95 vs the cold baseline with zero
+    # divergences (tools/fidelity_local.py --carry --physical,
+    # data/learning/fidelity_r5_carry_tracking.json).
+    seed_refine_iters: int = 2
     use_pallas_fk: bool = False  # route batched FK through the Pallas kernel
     # VMEM-resident Pallas APGD: A read once per substep instead of every
     # iteration (ops/apgd_kernel.py).  In-context A/B at B=2048: +11%

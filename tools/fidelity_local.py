@@ -78,15 +78,23 @@ def build_physical_states(model, B, seed=0):
         "/root/reference/data/motion/loco/random_loco_*.bvh"))[:3]
     motions = [motion_mod.from_bvh_file(f, char) for f in clips]
     rng = np.random.RandomState(seed)
-    sts = []
+    dt_con = model.params.num_substeps * model.params.dt_sim
+    sts, tq1, tq2 = [], [], []
     for b in range(B):
         m = motions[b % len(motions)]
         t = rng.uniform(0.5, (m.num_frames - 2) / m.fps - 0.5)
         rp, rq, jq = motion_mod.pose_at_time(m, t)
         rv, rw, jw = motion_mod.velocity_at_time(m, t)
         sts.append(state_mod.from_pose(model, rp, rq, jq, rv, rw, jw))
+        # TRACKING probe actions: SPD targets = the clip's next poses,
+        # i.e. what a perfect imitation policy commands — the action
+        # distribution the carried-inverse hot path actually runs under
+        # (an identity-T-pose target from mid-clip states is far more
+        # violent and diverges a 16-substep-stale inverse spuriously)
+        tq1.append(motion_mod.pose_at_time(m, t + dt_con)[2])
+        tq2.append(motion_mod.pose_at_time(m, t + 2 * dt_con)[2])
     st = jax.tree.map(lambda *x: jnp.stack(x), *sts)
-    return st
+    return st, (np.asarray(jnp.stack(tq1)), np.asarray(jnp.stack(tq2)))
 
 
 def build_states(model, B, seed=0):
@@ -147,7 +155,7 @@ def one_control_step(overrides, st_np, B):
     return np.asarray(out.root_p), np.asarray(out.vel)
 
 
-def two_control_steps(overrides, st_np, B, carry_iters=None):
+def two_control_steps(overrides, st_np, B, carry_iters=None, targets=None):
     """TWO control steps from the scramble state; with carry_iters the
     second step goes through control_step_carry seeded by the first's
     33 ms-stale inverse with `seed_refine_iters=carry_iters` f32 NS
@@ -165,17 +173,22 @@ def two_control_steps(overrides, st_np, B, carry_iters=None):
     model = model_mod.load_loco_model(params=params)
     st = state_mod.SimState(*[jnp.asarray(a) for a in st_np])
     J = model.num_joints
-    act = step_mod.Action(
-        target_q=jnp.broadcast_to(jnp.asarray([0.0, 0, 0, 1.0]), (B, J, 4)),
-        target_w=jnp.zeros((B, J, 3)))
+    if targets is None:
+        iq = jnp.broadcast_to(jnp.asarray([0.0, 0, 0, 1.0]), (B, J, 4))
+        tq1 = tq2 = iq
+    else:
+        tq1, tq2 = (jnp.asarray(t) for t in targets)
+    tw = jnp.zeros((B, J, 3))
+    act1 = step_mod.Action(target_q=tq1, target_w=tw)
+    act2 = step_mod.Action(target_q=tq2, target_w=tw)
 
     @jax.jit
     def run(st):
         if carry_iters is None:
             s1 = jax.vmap(lambda s, a: step_mod.control_step(model, s, a))(
-                st, act)
+                st, act1)
             s2 = jax.vmap(lambda s, a: step_mod.control_step(model, s, a))(
-                s1, act)
+                s1, act2)
             return s2
 
         def seed(s):
@@ -188,11 +201,11 @@ def two_control_steps(overrides, st_np, B, carry_iters=None):
         s1, Minv1, _ = jax.vmap(
             lambda s, a, m: step_mod.control_step_carry(
                 model, s, a, m, seed_refine_iters=carry_iters))(
-                    st, act, Minv0)
+                    st, act1, Minv0)
         s2, _, _ = jax.vmap(
             lambda s, a, m: step_mod.control_step_carry(
                 model, s, a, m, seed_refine_iters=carry_iters))(
-                    s1, act, Minv1.astype(jnp.float32))
+                    s1, act2, Minv1.astype(jnp.float32))
         return s2
 
     t0 = time.perf_counter()
@@ -222,20 +235,25 @@ def main():
 
     from physicsvae_tpu.physics import model as model_mod
     model = model_mod.load_loco_model()
-    st = (build_physical_states(model, args.batch, seed=args.seed)
-          if args.physical else
-          build_states(model, args.batch, seed=args.seed))
+    targets = None
+    if args.physical:
+        st, targets = build_physical_states(model, args.batch,
+                                            seed=args.seed)
+    else:
+        st = build_states(model, args.batch, seed=args.seed)
     st_np = tuple(np.asarray(a) for a in
                   (st.root_p, st.root_q, st.joint_q, st.vel))
 
     if args.carry:
-        p_ref, v_ref = two_control_steps(REF_OVERRIDES, st_np, args.batch)
+        p_ref, v_ref = two_control_steps(REF_OVERRIDES, st_np, args.batch,
+                                         targets=targets)
         results = {
-            "baseline": two_control_steps({}, st_np, args.batch),
+            "baseline": two_control_steps({}, st_np, args.batch,
+                                          targets=targets),
             "carry_sr3": two_control_steps({}, st_np, args.batch,
-                                           carry_iters=3),
+                                           carry_iters=3, targets=targets),
             "carry_sr2": two_control_steps({}, st_np, args.batch,
-                                           carry_iters=2),
+                                           carry_iters=2, targets=targets),
         }
         gate_and_report(args, results, p_ref, v_ref)
         return
